@@ -1,0 +1,291 @@
+"""Typed configuration tree for superodom_tpu.
+
+The reference spreads configuration over ROS YAML files, OpenCV-YAML
+calibration files and launch arguments (reference: super_odometry/config/*.yaml,
+src/parameter/parameter.cpp:118-341).  Here the whole system is configured by
+one frozen (hence jit-static, hashable) dataclass tree plus a small dynamic
+pytree of runtime-tunable scalars (resolutions adapt per scene scale, see
+reference laserMapping.cpp:600-651 adjustVoxelSize).
+
+Shapes (max point counts, feature caps, map capacities, iteration counts) are
+static fields: under ``jax.jit`` they select the compiled program.  Scalars
+that the reference tunes at runtime (line/plane resolution) live in
+``RuntimeParams`` and are traced values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+
+class RuntimeParams(NamedTuple):
+    """Dynamic (traced) per-step parameters.
+
+    The reference adapts voxel resolutions to scene scale at runtime
+    (laserMapping.cpp:600-651): near scenes use 0.1/0.2 m line/plane
+    resolution, far scenes 0.4/0.8 m.  These are data-dependent scalars, so
+    they are part of the traced inputs rather than the static config.
+    """
+
+    line_res: np.ndarray | float  # edge feature voxel resolution [m]
+    plane_res: np.ndarray | float  # planar feature voxel resolution [m]
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorProfile:
+    """Per-sensor static parameters.
+
+    Mirrors the per-sensor YAML profiles (config/vlp_16.yaml,
+    config/os1_128.yaml, config/livox_mid360.yaml) plus the fixed-size array
+    bounds the TPU design needs.
+    """
+
+    name: str
+    n_scan_lines: int  # scan_line in reference configs
+    max_points: int  # static input cloud capacity (points per scan)
+    min_range: float  # blind-zone radius [m] (config *.yaml min_range)
+    max_range: float  # maximum usable range [m]
+    filter_point_size: int  # uniform downsample stride (featureExtraction.cpp:504)
+    max_surface_features: int  # cap on planar features per scan (config *.yaml)
+    max_edge_features: int  # cap on edge features per scan
+    scan_period: float  # nominal seconds per sweep
+    default_line_res: float  # mapping_line_resolution
+    default_plane_res: float  # mapping_plane_resolution
+
+
+# Sensor presets mirroring reference config/*.yaml
+VLP_16 = SensorProfile(
+    name="velodyne",
+    n_scan_lines=16,
+    max_points=32768,
+    min_range=0.2,
+    max_range=130.0,
+    filter_point_size=3,
+    max_surface_features=2048,
+    max_edge_features=512,
+    scan_period=0.1,
+    default_line_res=0.1,
+    default_plane_res=0.2,
+)
+
+OS1_128 = SensorProfile(
+    name="ouster",
+    n_scan_lines=128,
+    max_points=131072,
+    min_range=0.2,
+    max_range=130.0,
+    filter_point_size=3,
+    max_surface_features=2048,
+    max_edge_features=512,
+    scan_period=0.1,
+    default_line_res=0.1,
+    default_plane_res=0.2,
+)
+
+LIVOX_MID360 = SensorProfile(
+    name="livox",
+    n_scan_lines=4,
+    max_points=24576,
+    min_range=0.2,
+    max_range=70.0,
+    filter_point_size=3,
+    max_surface_features=4096,
+    max_edge_features=512,
+    scan_period=0.1,
+    default_line_res=0.1,
+    default_plane_res=0.1,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Voxel-hash local map parameters.
+
+    TPU-native replacement for the reference 21x21x11 grid of 50 m blocks
+    with per-block octrees (LocalMap.h:131-138).  Cells are small (~1 m) so a
+    27-cell neighborhood gather bounds every KNN query; capacity-bounded
+    open-addressing keeps all shapes static.
+    """
+
+    cell_size: float = 1.0  # coarse hash cell edge [m]; must exceed KNN radius
+    table_size: int = 1 << 16  # open-addressing slots (power of two)
+    cell_capacity: int = 32  # stored points per cell
+    n_probes: int = 8  # linear probe attempts on lookup/insert
+    evict_radius: float = 250.0  # drop cells farther than this from the pose
+    # The reference keeps 21x21x11 blocks x 50 m => ~500 m extent
+    # (LocalMap.h:131-138); 250 m radius matches its usable neighborhood.
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """Scan-to-map ICP parameters (reference LidarSlam.h:273-281 + configs)."""
+
+    max_icp_iters: int = 4  # LocalizationICPMaxIter (config max_iterations)
+    max_gn_iters: int = 4  # inner solver iterations (Ceres max_num_iterations=4)
+    plane_knn: int = 5  # LocalizationPlaneDistanceNbrNeighbors
+    edge_knn: int = 10  # LocalizationLineDistanceNbrNeighbors
+    min_edge_neighbors: int = 4  # LocalizationMinmumLineNeighborRejection
+    edge_max_dist_inlier: float = 0.2  # LocalizationLineMaxDistInlier
+    min_map_surf_features: int = 50  # hasEnoughFeatures gate (LidarSlam.cpp:380)
+    velocity_failure_threshold: float = 30.0  # m/s motion gate
+    yaw_ratio: float = 0.0  # manual yaw correction deg per meter (calibration yaml)
+    trans_converge_tol: float = 1e-3  # declares ICP converged (m)
+    rot_converge_tol: float = 1e-3  # declares ICP converged (rad)
+    # Degenerate-environment handling (SuperLoc alignment risk):
+    pos_degeneracy_threshold: float = 0.1
+    ori_degeneracy_threshold: float = 0.1
+    visual_confidence_factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """Inertial fusion parameters (reference config *.yaml imu_preintegration_node)."""
+
+    acc_noise: float = 3.9939570888238808e-03  # acc_n
+    gyr_noise: float = 1.5636343949698187e-03  # gyr_n
+    acc_bias_noise: float = 6.4356659353532566e-05  # acc_w
+    gyr_bias_noise: float = 3.5640318696367613e-05  # gyr_w
+    gravity: float = 9.80511  # g_norm
+    lidar_correction_noise: float = 0.01
+    imu_rate: float = 200.0
+    max_imu_per_scan: int = 64  # static window: samples between two scans
+    window_size: int = 8  # sliding smoother window (states)
+    smoother_gn_iters: int = 4
+    # failure gates (imuPreintegration.cpp:398-417)
+    max_velocity: float = 30.0
+    max_acc_bias: float = 2.0
+    max_gyr_bias: float = 1.0
+    reset_after_keys: int = 100  # graph reset horizon (imuPreintegration.cpp:372)
+    init_window_sec: float = 1.0  # IMU static init duration (imu_data.h:71-160)
+
+
+@dataclasses.dataclass(frozen=True)
+class Extrinsics:
+    """IMU<->LiDAR calibration (reference config/*/..._calibration.yaml).
+
+    Stored as tuples so the dataclass stays hashable / jit-static.
+    ``R_imu_laser`` rotates laser-frame vectors into the IMU frame,
+    ``t_imu_laser`` is the laser origin in the IMU frame.
+    """
+
+    R_imu_laser: Tuple[Tuple[float, ...], ...] = (
+        (1.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0),
+        (0.0, 0.0, 1.0),
+    )
+    t_imu_laser: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    rotation_offset_rpy: Tuple[float, ...] = (0.0, 0.0, 0.0)
+
+    def R(self) -> np.ndarray:
+        return np.asarray(self.R_imu_laser, dtype=np.float32)
+
+    def t(self) -> np.ndarray:
+        return np.asarray(self.t_imu_laser, dtype=np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalizationConfig:
+    """Dual-mode operation: SLAM mapping vs localization against a prior map
+    (reference laserMapping.cpp:129-177, 281-315)."""
+
+    enabled: bool = False
+    update_map: bool = False  # whether to keep inserting scans in localization mode
+    init_pose_xyz: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    init_pose_rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Root configuration."""
+
+    sensor: SensorProfile = VLP_16
+    map: MapConfig = MapConfig()
+    registration: RegistrationConfig = RegistrationConfig()
+    imu: ImuConfig = ImuConfig()
+    extrinsics: Extrinsics = Extrinsics()
+    localization: LocalizationConfig = LocalizationConfig()
+    auto_voxel_size: bool = True
+    use_imu_roll_pitch: bool = False
+    startup_frames: int = 10  # IMU-orientation-only startup (laserMapping.cpp:317)
+
+    def default_runtime(self) -> RuntimeParams:
+        return RuntimeParams(
+            line_res=np.float32(self.sensor.default_line_res),
+            plane_res=np.float32(self.sensor.default_plane_res),
+        )
+
+
+def profile_by_name(name: str) -> SensorProfile:
+    table = {
+        "velodyne": VLP_16,
+        "vlp_16": VLP_16,
+        "ouster": OS1_128,
+        "os1_128": OS1_128,
+        "livox": LIVOX_MID360,
+        "livox_mid360": LIVOX_MID360,
+    }
+    return table[name.lower()]
+
+
+def load_yaml_config(path: str) -> PipelineConfig:
+    """Load a reference-style YAML profile into a PipelineConfig.
+
+    Accepts the reference's config schema (config/vlp_16.yaml layout) so users
+    of the reference can bring their configs directly.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    params = raw.get("/**", raw).get("ros__parameters", raw)
+    sensor = profile_by_name(params.get("sensor", "velodyne"))
+    fe = params.get("feature_extraction_node", {})
+    lm = params.get("laser_mapping_node", {})
+    imu = params.get("imu_preintegration_node", {})
+
+    sensor = dataclasses.replace(
+        sensor,
+        n_scan_lines=int(fe.get("scan_line", sensor.n_scan_lines)),
+        min_range=float(fe.get("min_range", sensor.min_range)),
+        filter_point_size=int(fe.get("filter_point_size", sensor.filter_point_size)),
+        max_surface_features=int(
+            lm.get("max_surface_features", sensor.max_surface_features)
+        ),
+        default_line_res=float(
+            lm.get("mapping_line_resolution", sensor.default_line_res)
+        ),
+        default_plane_res=float(
+            lm.get("mapping_plane_resolution", sensor.default_plane_res)
+        ),
+    )
+    reg = RegistrationConfig(
+        max_icp_iters=int(lm.get("max_iterations", 4)),
+        velocity_failure_threshold=float(lm.get("velocity_failure_threshold", 30.0)),
+    )
+    imu_cfg = ImuConfig(
+        acc_noise=float(imu.get("acc_n", ImuConfig.acc_noise)),
+        gyr_noise=float(imu.get("gyr_n", ImuConfig.gyr_noise)),
+        acc_bias_noise=float(imu.get("acc_w", ImuConfig.acc_bias_noise)),
+        gyr_bias_noise=float(imu.get("gyr_w", ImuConfig.gyr_bias_noise)),
+        gravity=float(imu.get("g_norm", ImuConfig.gravity)),
+        lidar_correction_noise=float(imu.get("lidar_correction_noise", 0.01)),
+    )
+    loc = LocalizationConfig(
+        enabled=bool(lm.get("localization_mode", False)),
+        init_pose_xyz=(
+            float(lm.get("init_x", 0.0)),
+            float(lm.get("init_y", 0.0)),
+            float(lm.get("init_z", 0.0)),
+        ),
+        init_pose_rpy=(
+            float(lm.get("init_roll", 0.0)),
+            float(lm.get("init_pitch", 0.0)),
+            float(lm.get("init_yaw", 0.0)),
+        ),
+    )
+    return PipelineConfig(
+        sensor=sensor, registration=reg, imu=imu_cfg, localization=loc
+    )

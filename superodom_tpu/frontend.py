@@ -1,0 +1,211 @@
+"""Scan preprocessing frontend: IMU orientation propagation, motion
+undistortion, and uniform feature extraction.
+
+TPU-native rebuild of the reference feature-extraction node
+(reference src/FeatureExtraction/featureExtraction.cpp): the ROS callbacks
+and ring buffers become pure functions over fixed-size masked arrays; the
+per-point interpolation loop (removePointDistortion, :222-314) becomes a
+vmapped searchsorted + slerp against the IMU window.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from superodom_tpu.geometry import (
+    Pose,
+    quat_identity,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_slerp,
+    so3_exp,
+)
+from superodom_tpu.ops.voxel import compact_masked, uniform_stride_mask
+
+
+class Scan(NamedTuple):
+    """One LiDAR sweep as fixed-size masked arrays (replaces PCL
+    PointcloudXYZITR, reference sensor_data/pointcloud/point_os.h)."""
+
+    xyz: jnp.ndarray  # f32[N,3] sensor frame
+    t_rel: jnp.ndarray  # f32[N] per-point time since scan start [s]
+    mask: jnp.ndarray  # bool[N]
+    t_start: jnp.ndarray  # f32 scalar, scan start time [s]
+
+
+class ImuWindow(NamedTuple):
+    """IMU samples covering (at least) one scan, fixed capacity
+    (replaces MapRingBuffer<Imu>, reference container/MapRingBuffer.h)."""
+
+    t: jnp.ndarray  # f32[M] absolute sample times
+    acc: jnp.ndarray  # f32[M,3]
+    gyr: jnp.ndarray  # f32[M,3]
+    q: jnp.ndarray  # f32[M,4] propagated world orientation q_w_i
+    mask: jnp.ndarray  # bool[M]
+
+
+def propagate_orientation(
+    q0: jnp.ndarray,
+    gyr0: jnp.ndarray,
+    t: jnp.ndarray,
+    gyr: jnp.ndarray,
+    mask: jnp.ndarray,
+    t0,
+) -> jnp.ndarray:
+    """Integrate gyro rates into per-sample orientations:
+    q_i = q_{i-1} * exp(dt * (w_i + w_{i-1}) / 2)
+    (reference updateImuOrientation, featureExtraction.cpp:574-583).
+
+    ``q0``/``gyr0``/``t0`` are the previous window's last state so
+    integration is continuous across windows.
+    """
+
+    def step(carry, inp):
+        q_prev, g_prev, t_prev = carry
+        t_i, g_i, m_i = inp
+        dt = jnp.clip(t_i - t_prev, 0.0, 0.5)
+        dq = so3_exp(dt * 0.5 * (g_i + g_prev))
+        q_i = quat_normalize(quat_mul(q_prev, dq))
+        q_i = jnp.where(m_i, q_i, q_prev)
+        new_carry = (
+            q_i,
+            jnp.where(m_i, g_i, g_prev),
+            jnp.where(m_i, t_i, t_prev),
+        )
+        return new_carry, q_i
+
+    (_, _, _), qs = jax.lax.scan(
+        step, (q0, gyr0, jnp.asarray(t0, t.dtype)), (t, gyr, mask)
+    )
+    return qs
+
+
+def _interp_pose_at(imu: ImuWindow, pos: jnp.ndarray, times: jnp.ndarray) -> Pose:
+    """Slerp-interpolated pose at arbitrary times from the IMU window
+    (rotation from gyro integration, translation optional e.g. VIO).
+
+    Mirrors getInterpolatedPoseAtTime (featureExtraction.cpp:255-276): clamps
+    to the window ends outside the covered span.
+    """
+    m = imu.t.shape[0]
+    valid_t = jnp.where(imu.mask, imu.t, jnp.inf)
+    # index of first sample with t > query (upper_bound)
+    after = jnp.searchsorted(valid_t, times, side="right").astype(jnp.int32)
+    n_valid = jnp.sum(imu.mask.astype(jnp.int32))
+    after = jnp.clip(after, 1, jnp.maximum(n_valid - 1, 1))
+    before = after - 1
+
+    t0 = imu.t[before]
+    t1 = imu.t[after]
+    ratio = jnp.clip((times - t0) / jnp.maximum(t1 - t0, 1e-6), 0.0, 1.0)
+    q = quat_slerp(imu.q[before], imu.q[after], ratio)
+    p = (1.0 - ratio)[..., None] * pos[before] + ratio[..., None] * pos[after]
+    return Pose(q, p)
+
+
+def undistort_scan(
+    scan: Scan,
+    imu: ImuWindow,
+    R_i_l: jnp.ndarray,
+    t_i_l: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Motion undistortion: re-express every point in the scan-start lidar
+    frame using slerp-interpolated IMU orientation (reference
+    removePointDistortion<Imu>, featureExtraction.cpp:222-314).
+
+    T_final = T_l_i * (T_w_start^-1 * T_w_point) * T_i_l applied per point.
+
+    Returns (undistorted xyz, q_w_original_l, t_w_original_l): the initial
+    orientation/position guess shipped to mapping in the reference's
+    LaserFeature message.
+    """
+    zeros = jnp.zeros((imu.t.shape[0], 3), dtype=scan.xyz.dtype)
+    start_pose = _interp_pose_at(imu, zeros, scan.t_start[None])
+    q_w_start = start_pose.q[0]
+
+    pt_times = scan.t_start + scan.t_rel
+    pt_pose = _interp_pose_at(imu, zeros, pt_times)
+
+    # T_orig_cur = T_w_start^-1 * T_w_cur (rotation-only for the IMU path)
+    q_rel = quat_mul(
+        jnp.broadcast_to(
+            quat_normalize(q_w_start * jnp.array([1, -1, -1, -1], scan.xyz.dtype)),
+            pt_pose.q.shape,
+        ),
+        pt_pose.q,
+    )
+    # conjugate by the imu->lidar extrinsic: p' = R_l_i (q_rel (R_i_l p + t_i_l)) + t_l_i
+    p_imu = scan.xyz @ R_i_l.T + t_i_l
+    p_rot = quat_rotate(q_rel, p_imu)
+    p_out = (p_rot - t_i_l) @ R_i_l  # R_l_i = R_i_l^T ; t_l_i = -R_i_l^T t_i_l
+
+    xyz = jnp.where(scan.mask[:, None], p_out, scan.xyz)
+
+    # initial guess: T_w_original * T_i_l (featureExtraction.cpp:283-289)
+    q_w_original_l = quat_normalize(
+        quat_mul(q_w_start, _matrix_quat(R_i_l, scan.xyz.dtype))
+    )
+    t_w_original_l = quat_rotate(q_w_start, t_i_l)
+    return xyz, q_w_original_l, t_w_original_l
+
+
+def _matrix_quat(R: jnp.ndarray, dtype) -> jnp.ndarray:
+    from superodom_tpu.geometry import matrix_to_quat
+
+    return matrix_to_quat(R.astype(dtype))
+
+
+def uniform_feature_extraction(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    stride: int,
+    min_range: float,
+    max_range: float,
+):
+    """Uniform surface-feature downsampling (reference
+    uniformFeatureExtraction, featureExtraction.cpp:504-525): every
+    ``stride``-th point, rejecting duplicates of the previous point and
+    blind-zone returns.
+
+    The reference's condition mixes || and && with a precedence quirk; the
+    intended semantics (non-duplicate AND outside blind radius) is
+    implemented here, plus a max-range gate.
+
+    Returns (mask) selecting surface feature points among the input lanes.
+    """
+    n = xyz.shape[0]
+    stride_m = uniform_stride_mask(n, stride)
+    prev = jnp.roll(xyz, 1, axis=0)
+    dup = jnp.all(jnp.abs(xyz - prev) <= 1e-7, axis=-1)
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    in_range = (rng_sq > min_range**2) & (rng_sq < max_range**2)
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    return mask & stride_m & ~dup & in_range & finite
+
+
+def select_features(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    capacity: int,
+):
+    """Compact the masked feature points into a fixed-width array of
+    ``capacity`` lanes.  When more features exist than fit, applies the
+    reference's fractional-stride subsampling (LidarSlam.cpp:346-359):
+    points are kept at an even rate rather than truncated.
+    """
+    count = jnp.sum(mask.astype(jnp.int32))
+    rate = jnp.minimum(
+        capacity / jnp.maximum(count.astype(xyz.dtype), 1.0), 1.0
+    )
+    # rank of each valid lane among valid lanes (0-based)
+    rank = (jnp.cumsum(mask.astype(jnp.int32)) - 1).astype(xyz.dtype)
+    # keep a valid lane iff its scaled output index advances: standard even
+    # decimation, same effect as the reference's fmod stride test
+    sel = mask & (jnp.floor(rank * rate) > jnp.floor((rank - 1.0) * rate))
+
+    _, cmask, cxyz = compact_masked(sel, xyz)
+    return cxyz[:capacity], cmask[:capacity]

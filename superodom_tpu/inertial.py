@@ -1,0 +1,428 @@
+"""Inertial subsystem: IMU initialization, preintegration, sliding-window
+smoothing, failure detection and high-rate state propagation.
+
+TPU-native rebuild of the reference IMU-preintegration node
+(reference src/ImuPreintegration/imuPreintegration.cpp), replacing GTSAM:
+
+* PreintegratedImuMeasurements -> a ``lax.scan`` over the IMU window
+  producing (dR, dv, dp, dt); bias Jacobians come from ``jax.jacfwd`` of the
+  same scan instead of hand-derived propagation.
+* ISAM2 with per-key lidar pose priors + ImuFactor + bias BetweenFactor
+  (imuPreintegration.cpp:279-337) -> a dense fixed-lag Gauss-Newton smoother
+  over a W-state window; the graph-reset-at-100-keys behavior
+  (:162-205,372) is subsumed by the fixed lag with a carried prior.
+* failure detection gates (:398-417) and the IMU-rate repropagation
+  (:339-367) are pure functions on the state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from superodom_tpu.config import ImuConfig
+from superodom_tpu.frontend import ImuWindow
+from superodom_tpu.geometry import (
+    Pose,
+    quat_conj,
+    quat_identity,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    so3_exp,
+    so3_log,
+    gravity_align_matrix,
+)
+
+
+class ImuInitState(NamedTuple):
+    """Output of static initialization (reference Imu::imuInit,
+    imu_data.h:71-160): measurement means, gravity, gyro bias and the
+    gravity-alignment rotation composed with the laser extrinsic."""
+
+    acc_mean: jnp.ndarray  # f32[3]
+    gyr_mean: jnp.ndarray  # f32[3]
+    acc_cov: jnp.ndarray  # f32[3]
+    gyr_cov: jnp.ndarray  # f32[3]
+    gravity: jnp.ndarray  # f32[3] gravity vector in imu frame
+    gyr_bias: jnp.ndarray  # f32[3]
+    R_gravity: jnp.ndarray  # f32[3,3] roll/pitch gravity alignment
+    R_imu_laser_gravity: jnp.ndarray  # f32[3,3] R_gravity^-1 @ R_imu_laser
+    ok: jnp.ndarray  # bool
+
+
+def imu_static_init(
+    acc: jnp.ndarray,
+    gyr: jnp.ndarray,
+    mask: jnp.ndarray,
+    R_imu_laser: jnp.ndarray,
+    gravity_norm: float = 9.81,
+) -> ImuInitState:
+    """Masked-mean/covariance initialization over a ~1 s static buffer."""
+    w = mask.astype(acc.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    acc_mean = jnp.sum(acc * w[:, None], axis=0) / n
+    gyr_mean = jnp.sum(gyr * w[:, None], axis=0) / n
+    acc_cov = jnp.sum(((acc - acc_mean) ** 2) * w[:, None], axis=0) / jnp.maximum(
+        n - 1.0, 1.0
+    )
+    gyr_cov = jnp.sum(((gyr - gyr_mean) ** 2) * w[:, None], axis=0) / jnp.maximum(
+        n - 1.0, 1.0
+    )
+    gravity = -acc_mean / jnp.maximum(jnp.linalg.norm(acc_mean), 1e-6) * gravity_norm
+    R_g = gravity_align_matrix(acc_mean)
+    R_ilg = R_g.T @ R_imu_laser  # reference: Roll_Pitch_Gravity^-1 * imu_laser_R
+    return ImuInitState(
+        acc_mean=acc_mean,
+        gyr_mean=gyr_mean,
+        acc_cov=acc_cov,
+        gyr_cov=gyr_cov,
+        gravity=gravity,
+        gyr_bias=gyr_mean,
+        R_gravity=R_g,
+        R_imu_laser_gravity=R_ilg,
+        ok=jnp.sum(mask.astype(jnp.int32)) > 10,
+    )
+
+
+class Preintegrated(NamedTuple):
+    """Forster-style preintegrated IMU measurement over one interval."""
+
+    dq: jnp.ndarray  # f32[4] delta rotation (body_i -> body_j)
+    dv: jnp.ndarray  # f32[3] delta velocity in body_i frame
+    dp: jnp.ndarray  # f32[3] delta position in body_i frame
+    dt: jnp.ndarray  # f32 total integration time
+    # first-order bias sensitivity (via jacfwd of the scan):
+    J_q_bg: jnp.ndarray  # f32[3,3] d so3_log(dq) / d bg
+    J_v_ba: jnp.ndarray  # f32[3,3]
+    J_v_bg: jnp.ndarray  # f32[3,3]
+    J_p_ba: jnp.ndarray  # f32[3,3]
+    J_p_bg: jnp.ndarray  # f32[3,3]
+
+
+def _preintegrate_raw(t, acc, gyr, mask, ba, bg, dtype):
+    def step(carry, inp):
+        q, v, p, t_prev, dt_tot, started = carry
+        t_i, a_i, g_i, m_i = inp
+        dt = jnp.where(started, jnp.clip(t_i - t_prev, 1e-4, 0.5), 0.0)
+        # reference uses dt=1/200 for the first sample and clamps outliers
+        # (imuPreintegration.cpp:258-264)
+        dt = jnp.where(m_i & ~started, 1.0 / 200.0, dt)
+        a = a_i - ba
+        g = g_i - bg
+        acc_w = quat_rotate(q, a)
+        p_new = p + v * dt + 0.5 * acc_w * dt * dt
+        v_new = v + acc_w * dt
+        q_new = quat_normalize(quat_mul(q, so3_exp(g * dt)))
+        new = (
+            jnp.where(m_i, q_new, q),
+            jnp.where(m_i, v_new, v),
+            jnp.where(m_i, p_new, p),
+            jnp.where(m_i, t_i, t_prev),
+            jnp.where(m_i, dt_tot + dt, dt_tot),
+            started | m_i,
+        )
+        return new, None
+
+    init = (
+        quat_identity(dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros((), dtype),
+        jnp.zeros((), dtype),
+        jnp.array(False),
+    )
+    (q, v, p, _, dt_tot, _), _ = jax.lax.scan(step, init, (t, acc, gyr, mask))
+    return q, v, p, dt_tot
+
+
+def preintegrate(imu: ImuWindow, ba: jnp.ndarray, bg: jnp.ndarray) -> Preintegrated:
+    """Preintegrate the masked IMU window at reference biases, with bias
+    Jacobians computed by forward-mode autodiff of the integration itself
+    (replacing GTSAM's hand-propagated Jacobians)."""
+    dtype = imu.acc.dtype
+
+    def f(b):
+        ba_, bg_ = b[:3], b[3:]
+        q, v, p, dt = _preintegrate_raw(
+            imu.t, imu.acc, imu.gyr, imu.mask, ba_, bg_, dtype
+        )
+        return jnp.concatenate([so3_log(q), v, p]), (q, v, p, dt)
+
+    b0 = jnp.concatenate([ba, bg])
+    J, (q, v, p, dt) = jax.jacfwd(f, has_aux=True)(b0)
+    return Preintegrated(
+        dq=q,
+        dv=v,
+        dp=p,
+        dt=dt,
+        J_q_bg=J[0:3, 3:6],
+        J_v_ba=J[3:6, 0:3],
+        J_v_bg=J[3:6, 3:6],
+        J_p_ba=J[6:9, 0:3],
+        J_p_bg=J[6:9, 3:6],
+    )
+
+
+class SmootherState(NamedTuple):
+    """Fixed-lag window of navigation states at lidar keyframes."""
+
+    q: jnp.ndarray  # f32[W,4] world<-imu orientation
+    p: jnp.ndarray  # f32[W,3]
+    v: jnp.ndarray  # f32[W,3]
+    ba: jnp.ndarray  # f32[W,3]
+    bg: jnp.ndarray  # f32[W,3]
+    t: jnp.ndarray  # f32[W] keyframe times
+    preint: Preintegrated  # stacked [W] (interval i-1 -> i; lane 0 unused)
+    valid: jnp.ndarray  # bool[W]
+    key: jnp.ndarray  # i32 keyframes since init
+    failed: jnp.ndarray  # bool, failure detected last update
+
+
+def _stack_preint(w: int, dtype=jnp.float32) -> Preintegrated:
+    z3 = jnp.zeros((w, 3), dtype)
+    z33 = jnp.zeros((w, 3, 3), dtype)
+    return Preintegrated(
+        dq=jnp.tile(quat_identity(dtype)[None], (w, 1)),
+        dv=z3,
+        dp=z3,
+        dt=jnp.zeros((w,), dtype),
+        J_q_bg=z33,
+        J_v_ba=z33,
+        J_v_bg=z33,
+        J_p_ba=z33,
+        J_p_bg=z33,
+    )
+
+
+def smoother_init(cfg: ImuConfig, dtype=jnp.float32) -> SmootherState:
+    w = cfg.window_size
+    return SmootherState(
+        q=jnp.tile(quat_identity(dtype)[None], (w, 1)),
+        p=jnp.zeros((w, 3), dtype),
+        v=jnp.zeros((w, 3), dtype),
+        ba=jnp.zeros((w, 3), dtype),
+        bg=jnp.zeros((w, 3), dtype),
+        t=jnp.zeros((w,), dtype),
+        preint=_stack_preint(w, dtype),
+        valid=jnp.zeros((w,), bool),
+        key=jnp.zeros((), jnp.int32),
+        failed=jnp.zeros((), bool),
+    )
+
+
+def _imu_residuals(q_i, p_i, v_i, ba_i, bg_i, q_j, p_j, v_j, pre: Preintegrated,
+                   gravity_w, ref_ba, ref_bg):
+    """Forster-style preintegration residuals with first-order bias
+    correction (the role of gtsam::ImuFactor)."""
+    dba = ba_i - ref_ba
+    dbg = bg_i - ref_bg
+    dq_corr = quat_mul(pre.dq, so3_exp(pre.J_q_bg @ dbg))
+    dv_corr = pre.dv + pre.J_v_ba @ dba + pre.J_v_bg @ dbg
+    dp_corr = pre.dp + pre.J_p_ba @ dba + pre.J_p_bg @ dbg
+    dt = pre.dt
+
+    q_i_inv = quat_conj(q_i)
+    r_q = so3_log(quat_mul(quat_conj(dq_corr), quat_mul(q_i_inv, q_j)))
+    r_v = quat_rotate(q_i_inv, v_j - v_i - gravity_w * dt) - dv_corr
+    r_p = (
+        quat_rotate(q_i_inv, p_j - p_i - v_i * dt - 0.5 * gravity_w * dt * dt)
+        - dp_corr
+    )
+    return r_q, r_v, r_p
+
+
+def smoother_update(
+    state: SmootherState,
+    cfg: ImuConfig,
+    lidar_pose_imu: Pose,
+    t_key,
+    imu: ImuWindow,
+) -> Tuple[SmootherState, Pose]:
+    """Shift in a new keyframe constrained by the lidar pose (expressed in
+    the IMU frame, i.e. already composed with lidar2Imu as in
+    imuPreintegration.cpp:284) and re-solve the window by dense GN.
+
+    Returns the updated window and the smoothed latest pose.
+    """
+    W = cfg.window_size
+    dtype = state.p.dtype
+    gravity_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
+
+    pre = preintegrate(imu, state.ba[-1], state.bg[-1])
+
+    # propagate a predicted state for the new keyframe
+    q_pred = quat_normalize(quat_mul(state.q[-1], pre.dq))
+    dt = pre.dt
+    v_pred = state.v[-1] + gravity_w * dt + quat_rotate(state.q[-1], pre.dv)
+    p_pred = (
+        state.p[-1]
+        + state.v[-1] * dt
+        + 0.5 * gravity_w * dt * dt
+        + quat_rotate(state.q[-1], pre.dp)
+    )
+
+    first = ~state.valid[-1]
+    q_new = jnp.where(first, lidar_pose_imu.q, q_pred)
+    p_new = jnp.where(first, lidar_pose_imu.t, p_pred)
+    v_new = jnp.where(first, jnp.zeros(3, dtype), v_pred)
+
+    shift = lambda arr, new: jnp.concatenate([arr[1:], new[None]], axis=0)
+    st = SmootherState(
+        q=shift(state.q, q_new),
+        p=shift(state.p, p_new),
+        v=shift(state.v, v_new),
+        ba=shift(state.ba, state.ba[-1]),
+        bg=shift(state.bg, state.bg[-1]),
+        t=shift(state.t, jnp.asarray(t_key, dtype)),
+        preint=jax.tree_util.tree_map(
+            lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0), state.preint, pre
+        ),
+        valid=shift(state.valid, jnp.array(True)),
+        key=state.key + 1,
+        failed=state.failed,
+    )
+
+    # measurement: lidar pose prior on the newest state (tight, sigma =
+    # lidar_correction_noise as in the reference) and on every older state
+    # from its previous estimate (keeps the window anchored ~ marginals)
+    meas_q = shift(state.q, lidar_pose_imu.q)
+    meas_p = shift(state.p, lidar_pose_imu.t)
+    # drop priors for invalid lanes
+    prior_w = st.valid.astype(dtype) / cfg.lidar_correction_noise
+
+    sig_vq = 1.0 / (cfg.gyr_noise * 60.0)
+    sig_vv = 1.0 / (cfg.acc_noise * 60.0)
+    w_bias_a = st.valid.astype(dtype) / jnp.maximum(
+        cfg.acc_bias_noise * jnp.sqrt(jnp.maximum(st.preint.dt, 1e-3)), 1e-9
+    )
+    w_bias_g = st.valid.astype(dtype) / jnp.maximum(
+        cfg.gyr_bias_noise * jnp.sqrt(jnp.maximum(st.preint.dt, 1e-3)), 1e-9
+    )
+
+    ref_ba, ref_bg = st.ba[-1], st.bg[-1]
+    pair_valid = (st.valid[:-1] & st.valid[1:]).astype(dtype)
+
+    def gn_iter(carry, _):
+        q_c, p_c, v_c, ba_c, bg_c = carry
+
+        def res_at(delta_flat):
+            delta = delta_flat.reshape(W, 15)
+            q = quat_normalize(quat_mul(q_c, so3_exp(delta[:, 0:3])))
+            p = p_c + delta[:, 3:6]
+            v = v_c + delta[:, 6:9]
+            ba = ba_c + delta[:, 9:12]
+            bg = bg_c + delta[:, 12:15]
+            return _window_residuals(
+                q, p, v, ba, bg, st, meas_q, meas_p, prior_w,
+                sig_vq, sig_vv, w_bias_a, w_bias_g, pair_valid,
+                gravity_w, ref_ba, ref_bg, W,
+            )
+
+        delta0 = jnp.zeros((W * 15,), dtype)
+        r0 = res_at(delta0)
+        J = jax.jacfwd(res_at)(delta0)
+        H = J.T @ J + 1e-6 * jnp.eye(W * 15, dtype=dtype)
+        g = J.T @ r0
+        delta = -jnp.linalg.solve(H, g).reshape(W, 15)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        out = (
+            quat_normalize(quat_mul(q_c, so3_exp(delta[:, 0:3]))),
+            p_c + delta[:, 3:6],
+            v_c + delta[:, 6:9],
+            ba_c + delta[:, 9:12],
+            bg_c + delta[:, 12:15],
+        )
+        return out, None
+
+    (q_f, p_f, v_f, ba_f, bg_f), _ = jax.lax.scan(
+        gn_iter, (st.q, st.p, st.v, st.ba, st.bg), None,
+        length=cfg.smoother_gn_iters,
+    )
+
+    # failure detection (imuPreintegration.cpp:398-417)
+    failed = (
+        (jnp.linalg.norm(v_f[-1]) > cfg.max_velocity)
+        | (jnp.linalg.norm(ba_f[-1]) > cfg.max_acc_bias)
+        | (jnp.linalg.norm(bg_f[-1]) > cfg.max_gyr_bias)
+    )
+    # on failure: keep lidar pose, zero velocity/bias (resetParams behavior)
+    keep = ~failed
+
+    def sel(new, fallback):
+        return jnp.where(keep, new, fallback)
+
+    out = SmootherState(
+        q=sel(q_f, meas_q),
+        p=sel(p_f, meas_p),
+        v=sel(v_f, jnp.zeros_like(v_f)),
+        ba=sel(ba_f, jnp.zeros_like(ba_f)),
+        bg=sel(bg_f, jnp.zeros_like(bg_f)),
+        t=st.t,
+        preint=st.preint,
+        valid=st.valid,
+        key=jnp.where(failed, 0, st.key),
+        failed=failed,
+    )
+    return out, Pose(out.q[-1], out.p[-1])
+
+
+def _window_residuals(q, p, v, ba, bg, st, meas_q, meas_p, prior_w,
+                      sig_vq, sig_vv, w_bias_a, w_bias_g, pair_valid,
+                      gravity_w, ref_ba, ref_bg, W):
+    res = [
+        (jax.vmap(lambda a, b: so3_log(quat_mul(quat_conj(b), a)))(q, meas_q)
+         * prior_w[:, None]).reshape(-1),
+        ((p - meas_p) * prior_w[:, None]).reshape(-1),
+    ]
+
+    def one(i):
+        pre_i = jax.tree_util.tree_map(lambda a: a[i + 1], st.preint)
+        r_q, r_v, r_p = _imu_residuals(
+            q[i], p[i], v[i], ba[i], bg[i],
+            q[i + 1], p[i + 1], v[i + 1], pre_i,
+            gravity_w, ref_ba, ref_bg,
+        )
+        w = pair_valid[i]
+        return jnp.concatenate([r_q * sig_vq * w, r_v * sig_vv * w, r_p * sig_vv * w])
+
+    res.append(jax.vmap(one)(jnp.arange(W - 1)).reshape(-1))
+    r_ba = (ba[1:] - ba[:-1]) * (w_bias_a[1:] * pair_valid)[:, None]
+    r_bg = (bg[1:] - bg[:-1]) * (w_bias_g[1:] * pair_valid)[:, None]
+    res.append(r_ba.reshape(-1))
+    res.append(r_bg.reshape(-1))
+    return jnp.concatenate(res)
+
+
+def propagate_high_rate(
+    state: SmootherState, cfg: ImuConfig, imu: ImuWindow
+) -> Tuple[Pose, jnp.ndarray, jnp.ndarray]:
+    """IMU-rate odometry: integrate the window forward from the latest
+    smoothed state with current biases (reference repropagate_imuodometry +
+    imuHandler predict, imuPreintegration.cpp:339-367,565).
+
+    Returns per-sample (poses, velocities) stacked over the window.
+    """
+    dtype = state.p.dtype
+    gravity_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
+    ba, bg = state.ba[-1], state.bg[-1]
+
+    def step(carry, inp):
+        q, p, v, t_prev, started = carry
+        t_i, a_i, g_i, m_i = inp
+        dt = jnp.where(started & m_i, jnp.clip(t_i - t_prev, 1e-4, 0.5), 0.0)
+        dt = jnp.where(m_i & ~started, 1.0 / 200.0, dt)
+        acc_w = quat_rotate(q, a_i - ba) + gravity_w
+        p_n = p + v * dt + 0.5 * acc_w * dt * dt
+        v_n = v + acc_w * dt
+        q_n = quat_normalize(quat_mul(q, so3_exp((g_i - bg) * dt)))
+        q = jnp.where(m_i, q_n, q)
+        p = jnp.where(m_i, p_n, p)
+        v = jnp.where(m_i, v_n, v)
+        return (q, p, v, jnp.where(m_i, t_i, t_prev), started | m_i), (q, p, v)
+
+    init = (state.q[-1], state.p[-1], state.v[-1], state.t[-1], jnp.array(False))
+    _, (qs, ps, vs) = jax.lax.scan(step, init, (imu.t, imu.acc, imu.gyr, imu.mask))
+    return Pose(qs, ps), vs, imu.mask

@@ -1,0 +1,113 @@
+"""Voxel hashing primitives: coordinates, spatial hashes, scatter/sort-based
+voxel-grid downsampling and masked compaction.
+
+These replace PCL's VoxelGrid filter (reference LocalMap.h:562-567,
+laserMapping.cpp:638-645) and the implicit variable-length cloud handling of
+PCL.  Everything is static-shape: downsampling returns the same array length
+with a validity mask; compaction moves valid lanes to the front.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import ops as jops
+
+# Multiplier primes per axis; mixing is murmur3-fmix style.  (Plain XOR of
+# odd multiples — the classic Teschner hash — collides on sign-flipped
+# coordinate pairs: (-a)^(-b) == a^b whenever a and b are both odd.)
+_P1 = jnp.uint32(73856093)
+_P2 = jnp.uint32(19349663)
+_P3 = jnp.uint32(83492791)
+_SEEDS = (jnp.uint32(0x9E3779B9), jnp.uint32(0x85EBCA77))
+
+
+def voxel_coords(xyz: jnp.ndarray, res) -> jnp.ndarray:
+    """Integer voxel coordinates floor(x/res), int32 [..., 3]."""
+    return jnp.floor(xyz / res).astype(jnp.int32)
+
+
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def hash_coords(coords: jnp.ndarray, variant: int = 0) -> jnp.ndarray:
+    """Spatial hash of int32 [..., 3] -> int32 [...]. Two independent variants."""
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * _P1 + c[..., 1] * _P2 + c[..., 2] * _P3 + _SEEDS[variant]
+    return _fmix32(h).astype(jnp.int32)
+
+
+def _composite_sort_order(h1: jnp.ndarray, h2: jnp.ndarray) -> jnp.ndarray:
+    """Stable lexicographic argsort by (h1, h2) built from two stable sorts."""
+    order2 = jnp.argsort(h2, stable=True)
+    order1 = jnp.argsort(h1[order2], stable=True)
+    return order2[order1]
+
+
+def voxel_downsample_centroid(xyz: jnp.ndarray, mask: jnp.ndarray, res):
+    """Voxel-grid downsample keeping per-voxel centroids (PCL VoxelGrid
+    semantics, reference LocalMap.h:562-567).
+
+    Args:
+      xyz: f32[N, 3]
+      mask: bool[N] valid lanes
+      res: scalar voxel edge (traced value allowed)
+
+    Returns:
+      (xyz_out f32[N,3], mask_out bool[N]) — one valid lane per occupied
+      voxel, compacted to the front; invalid lanes zeroed.
+    """
+    n = xyz.shape[0]
+    coords = voxel_coords(xyz, res)
+    h1 = hash_coords(coords, 0)
+    h2 = hash_coords(coords, 1)
+    # shunt invalid lanes to a reserved key so they sort together at the end
+    h1 = jnp.where(mask, h1, jnp.int32(2147483647))
+    h2 = jnp.where(mask, h2, jnp.int32(2147483647))
+
+    order = _composite_sort_order(h1, h2)
+    h1s, h2s, ms = h1[order], h2[order], mask[order]
+    xs = xyz[order]
+
+    new_run = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]),
+        ]
+    )
+    seg_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # [N]
+
+    w = ms.astype(xyz.dtype)
+    sums = jops.segment_sum(xs * w[:, None], seg_id, num_segments=n)
+    cnts = jops.segment_sum(w, seg_id, num_segments=n)
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    out_mask = cnts > 0.0
+    return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
+
+
+def compact_masked(mask: jnp.ndarray, *arrays):
+    """Stable-move valid lanes to the front.
+
+    Returns ``(count, mask_out, arrays_out...)``: ``mask_out`` is True for the
+    first ``count`` lanes.  Invalid lanes keep whatever values the sort placed
+    there; consumers must respect the mask.
+    """
+    order = jnp.argsort(jnp.logical_not(mask), stable=True)
+    count = jnp.sum(mask.astype(jnp.int32))
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    mask_out = idx < count
+    outs = tuple(a[order] for a in arrays)
+    return (count, mask_out) + outs
+
+
+def uniform_stride_mask(n: int, stride: int) -> jnp.ndarray:
+    """Every ``stride``-th lane starting at 1 (reference uniformFeatureExtraction
+    loop ``for (i=1; i<n; i+=skip_num)``, featureExtraction.cpp:507)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return (idx >= 1) & ((idx - 1) % stride == 0)

@@ -1,0 +1,97 @@
+"""Batched multi-instance odometry over a device mesh.
+
+The reference is a single-robot estimator; the TPU-native scale-out axis is
+batch parallelism over independent odometry instances (multi-robot replay,
+BASELINE.md north star: 64 instances on a v5e slice).  Each instance's whole
+state — including its voxel-hash map — is a pytree leaf with a leading batch
+dimension; instances are sharded across the mesh 'data' axis and each
+instance's map table is sharded across the 'model' axis (map memory is the
+per-instance HBM hog, so sharding the table dimension is what lets instance
+count scale beyond one chip's HBM).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from superodom_tpu.config import PipelineConfig
+from superodom_tpu.frontend import ImuWindow, Scan
+from superodom_tpu.pipeline import OdomState, init_state, step
+
+
+def make_mesh(devices=None, data: int | None = None, model: int = 1) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def _state_pspec(state: OdomState) -> OdomState:
+    """PartitionSpecs for a batched OdomState: batch dim on 'data'; the map
+    tables additionally sharded over 'model' on the table axis."""
+
+    def default(leaf):
+        return P("data")
+
+    specs = jax.tree_util.tree_map(default, state)
+    map_spec = type(state.surf_map)(
+        keys=P("data", "model"),
+        used=P("data", "model"),
+        pts=P("data", "model"),
+        cnt=P("data", "model"),
+    )
+    return specs._replace(edge_map=map_spec, surf_map=map_spec)
+
+
+def batched_init_state(cfg: PipelineConfig, batch: int, dtype=jnp.float32) -> OdomState:
+    one = init_state(cfg, dtype)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), one
+    )
+
+
+def make_batched_step(cfg: PipelineConfig, mesh: Mesh):
+    """vmapped + sharded step over a batch of instances.
+
+    Returns (step_fn, shard_state) where step_fn(state, scan, imu, avail) is
+    jitted with explicit in/out shardings over the mesh.
+    """
+    dummy = init_state(cfg)
+    state_spec = _state_pspec(dummy)
+    scan_spec = Scan(
+        xyz=P("data"), t_rel=P("data"), mask=P("data"), t_start=P("data")
+    )
+    imu_spec = ImuWindow(
+        t=P("data"), acc=P("data"), gyr=P("data"), q=P("data"), mask=P("data")
+    )
+
+    vstep = jax.vmap(lambda s, sc, im, av: step(cfg, s, sc, im, av))
+
+    to_sharding = lambda spec: jax.tree_util.tree_map(
+        lambda p: NamedSharding(mesh, p), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+    step_fn = jax.jit(
+        vstep,
+        in_shardings=(
+            to_sharding(state_spec),
+            to_sharding(scan_spec),
+            to_sharding(imu_spec),
+            NamedSharding(mesh, P("data")),
+        ),
+        out_shardings=(to_sharding(state_spec), None),
+    )
+
+    def shard_state(state: OdomState) -> OdomState:
+        return jax.device_put(state, to_sharding(state_spec))
+
+    return step_fn, shard_state

@@ -1,0 +1,431 @@
+"""The odometry pipeline: one jitted pure function
+``step(state, scan, imu_window) -> (state', output)``.
+
+This single XLA program replaces the reference's three ROS 2 processes and
+their topic chain (featureExtraction -> laserMapping -> imuPreintegration;
+reference src/*_node.cpp, SURVEY.md section 1): undistortion, feature
+extraction, auto voxel sizing, prediction-source selection, scan-to-map ICP,
+motion gating, map update, and inertial smoothing all execute on device with
+static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superodom_tpu.config import PipelineConfig, RuntimeParams
+from superodom_tpu.frontend import (
+    ImuWindow,
+    Scan,
+    select_features,
+    undistort_scan,
+    uniform_feature_extraction,
+)
+from superodom_tpu.geometry import (
+    Pose,
+    matrix_to_quat,
+    quat_angle,
+    quat_conj,
+    quat_from_rpy,
+    quat_identity,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    rpy_from_quat,
+    so3_log,
+)
+from superodom_tpu.inertial import (
+    SmootherState,
+    propagate_high_rate,
+    smoother_init,
+    smoother_update,
+)
+from superodom_tpu.mapstate import (
+    VoxelHashMap,
+    census_box,
+    empty_map,
+    evict_far,
+    insert,
+)
+from superodom_tpu.ops.voxel import voxel_downsample_centroid
+from superodom_tpu.registration import (
+    IcpStats,
+    PosePrior,
+    icp_register,
+)
+
+# PredictionSource enum (reference LidarSlam.h:50-52)
+PRED_IMU_ORIENTATION = 0
+PRED_LIO_ODOM = 1
+PRED_VIO_ODOM = 2
+PRED_NEURAL_IMU_ODOM = 3
+PRED_CONSTANT_VELOCITY = 4
+
+
+class OdomState(NamedTuple):
+    """Full estimator state — one pytree, trivially checkpointable
+    (replaces scattered mutable members of the three reference nodes)."""
+
+    pose: Pose  # T_w_lidar (latest accepted)
+    pose_prev: Pose  # previous frame's pose (constant-velocity source)
+    q_odom_pre: jnp.ndarray  # previous IMU orientation sample (q_wodom_pre)
+    startup_count: jnp.ndarray  # i32 (laserMapping.cpp:272 startup logic)
+    initialized: jnp.ndarray  # bool — first frame seeds the map instead of ICP
+    frame_count: jnp.ndarray  # i32
+    last_time: jnp.ndarray  # f32 previous scan timestamp
+    rt: RuntimeParams  # adaptive voxel resolutions
+    edge_map: VoxelHashMap
+    surf_map: VoxelHashMap
+    smoother: SmootherState
+    degenerate: jnp.ndarray  # bool — from last registration
+    vio_pose: Pose  # external odometry prediction (VIO path)
+    vio_available: jnp.ndarray  # bool
+
+
+class StepOutput(NamedTuple):
+    """Everything the reference publishes per scan, as one struct
+    (laser_odometry + OptimizationStats + uncertainties + health)."""
+
+    pose: Pose  # registered lidar pose (laser_odometry)
+    smoothed_pose: Pose  # inertial-smoothed pose in lidar frame
+    vel_body: jnp.ndarray  # f32[3] body-frame linear velocity
+    ang_vel_body: jnp.ndarray  # f32[3] body-frame angular velocity
+    acc_bias: jnp.ndarray  # f32[3]
+    gyr_bias: jnp.ndarray  # f32[3]
+    prediction_source: jnp.ndarray  # i32 enum
+    icp: IcpStats
+    surf_stack_num: jnp.ndarray  # i32 features in this scan
+    edge_stack_num: jnp.ndarray
+    surf_map_num: jnp.ndarray  # i32 map features near pose
+    edge_map_num: jnp.ndarray
+    average_distance: jnp.ndarray  # scene-scale statistic
+    motion_accepted: jnp.ndarray  # bool — motion gates passed
+    imu_healthy: jnp.ndarray  # bool — smoother failure detection
+    translation_from_last: jnp.ndarray
+    rotation_from_last: jnp.ndarray
+    total_translation: jnp.ndarray  # |pose - initial guess| (stats fields)
+    total_rotation: jnp.ndarray
+
+
+def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdomState:
+    loc = cfg.localization
+    if loc.enabled:
+        q0 = quat_from_rpy(*[jnp.asarray(v, dtype) for v in loc.init_pose_rpy])
+        t0 = jnp.asarray(loc.init_pose_xyz, dtype)
+    else:
+        q0 = quat_identity(dtype)
+        t0 = jnp.zeros(3, dtype)
+    pose0 = Pose(q0, t0)
+    return OdomState(
+        pose=pose0,
+        pose_prev=pose0,
+        q_odom_pre=quat_identity(dtype),
+        startup_count=jnp.asarray(cfg.startup_frames, jnp.int32),
+        initialized=jnp.asarray(False),
+        frame_count=jnp.asarray(0, jnp.int32),
+        last_time=jnp.asarray(0.0, dtype),
+        rt=RuntimeParams(
+            line_res=jnp.asarray(cfg.sensor.default_line_res, dtype),
+            plane_res=jnp.asarray(cfg.sensor.default_plane_res, dtype),
+        ),
+        edge_map=empty_map(cfg.map, dtype),
+        surf_map=empty_map(cfg.map, dtype),
+        smoother=smoother_init(cfg.imu, dtype),
+        degenerate=jnp.asarray(False),
+        vio_pose=Pose.identity(dtype),
+        vio_available=jnp.asarray(False),
+    )
+
+
+def _extract_roll_pitch(q: jnp.ndarray) -> jnp.ndarray:
+    """Zero the yaw component (reference utils::extractRollPitch used at
+    first-frame init, laserMapping.cpp:286)."""
+    roll, pitch, _ = rpy_from_quat(q)
+    return quat_from_rpy(roll, pitch, jnp.zeros_like(roll))
+
+
+def _select_prediction(
+    cfg: PipelineConfig,
+    state: OdomState,
+    q_imu: jnp.ndarray,
+    imu_available: jnp.ndarray,
+) -> Tuple[Pose, jnp.ndarray, jnp.ndarray]:
+    """Prediction-source state machine (reference setInitialGuess +
+    selectPosePrediction + determinePredictionSource,
+    laserMapping.cpp:264-412).  LIO/NIO paths are latent in the slim
+    reference (statuses hardwired false, laserMapping.cpp:680-684); the VIO
+    path activates under degeneracy when an external pose is supplied."""
+    dtype = state.pose.t.dtype
+    R_il = jnp.asarray(np.asarray(cfg.extrinsics.R_imu_laser), dtype)
+    q_extr = quat_normalize(matrix_to_quat(R_il))
+
+    # --- first frame -------------------------------------------------------
+    rp = _extract_roll_pitch(q_imu)
+    q_first = quat_normalize(quat_mul(quat_conj(q_extr), rp))
+    q_first = jnp.where(imu_available, q_first, quat_identity(dtype))
+    first_pose = Pose(q_first, jnp.zeros(3, dtype))
+    if cfg.localization.enabled:
+        first_pose = Pose(state.pose.q, state.pose.t)  # configured init pose
+
+    # --- startup: IMU orientation only ------------------------------------
+    startup_pose = Pose(
+        jnp.where(imu_available, q_imu, state.pose.q), state.pose.t
+    )
+
+    # --- normal operation ---------------------------------------------------
+    use_vio = state.degenerate & state.vio_available
+    # IMU orientation: q_pred = q_curr * q_pre^-1 * q_now (laserMapping.cpp:364)
+    q_pred = quat_normalize(
+        quat_mul(state.pose.q, quat_mul(quat_conj(state.q_odom_pre), q_imu))
+    )
+    imu_pose = Pose(q_pred, state.pose.t)
+    # constant velocity: T * (T_prev^-1 * T) (laserMapping.cpp:371-375)
+    rel = state.pose_prev.inverse().compose(state.pose)
+    cv_pose = state.pose.compose(rel)
+
+    normal_pose = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(imu_available, a, b), imu_pose, cv_pose
+    )
+    normal_pose = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(use_vio, a, b), state.vio_pose, normal_pose
+    )
+    source = jnp.where(
+        use_vio,
+        PRED_VIO_ODOM,
+        jnp.where(imu_available, PRED_IMU_ORIENTATION, PRED_CONSTANT_VELOCITY),
+    ).astype(jnp.int32)
+
+    in_startup = (state.startup_count > 0) & state.initialized
+    pred = jax.tree_util.tree_map(
+        lambda s, n: jnp.where(in_startup, s, n), startup_pose, normal_pose
+    )
+    pred = jax.tree_util.tree_map(
+        lambda f, p: jnp.where(state.initialized, p, f), first_pose, pred
+    )
+    source = jnp.where(state.initialized & ~in_startup, source, PRED_IMU_ORIENTATION)
+    return pred, source, use_vio
+
+
+def _adjust_voxel_size(
+    cfg: PipelineConfig, rt: RuntimeParams, xyz, mask
+) -> Tuple[RuntimeParams, jnp.ndarray]:
+    """Scene-scale adaptive resolutions (reference adjustVoxelSize,
+    laserMapping.cpp:600-651): product of per-axis mean |coord| selects
+    near/far presets."""
+    w = mask.astype(xyz.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    avg = jnp.sum(jnp.abs(xyz) * w[:, None], axis=0) / n
+    average_distance = avg[0] * avg[1] * avg[2]
+    if not cfg.auto_voxel_size:
+        return rt, average_distance
+    near = average_distance < 25.0
+    far = average_distance > 65.0
+    line = jnp.where(near, 0.1, jnp.where(far, 0.4, rt.line_res))
+    plane = jnp.where(near, 0.2, jnp.where(far, 0.8, rt.plane_res))
+    return RuntimeParams(line_res=line, plane_res=plane), average_distance
+
+
+def step(
+    cfg: PipelineConfig,
+    state: OdomState,
+    scan: Scan,
+    imu: ImuWindow,
+    imu_available: jnp.ndarray,
+) -> Tuple[OdomState, StepOutput]:
+    """Process one scan end-to-end.  Static under ``jax.jit`` given ``cfg``.
+
+    Mirrors laserMapping::process (laserMapping.cpp:768-793) with the
+    feature-extraction stage inlined ahead of it and the inertial smoother
+    after it.
+    """
+    dtype = scan.xyz.dtype
+    sensor = cfg.sensor
+    reg = cfg.registration
+    np_ext = cfg.extrinsics
+    R_il = jnp.asarray(np.asarray(np_ext.R_imu_laser), dtype)
+    t_il = jnp.asarray(np.asarray(np_ext.t_imu_laser), dtype)
+
+    # ---------------- frontend: undistort + extract features ---------------
+    xyz_u, q_w_orig_l, _ = undistort_scan(scan, imu, R_il, t_il)
+    xyz_u = jnp.where(imu_available, xyz_u, scan.xyz)
+    q_imu_pred = jnp.where(imu_available, q_w_orig_l, quat_identity(dtype))
+
+    feat_mask = uniform_feature_extraction(
+        xyz_u, scan.mask, sensor.filter_point_size, sensor.min_range,
+        sensor.max_range,
+    )
+
+    rt, average_distance = _adjust_voxel_size(cfg, state.rt, xyz_u, feat_mask)
+
+    ds_xyz, ds_mask = voxel_downsample_centroid(
+        jnp.where(feat_mask[:, None], xyz_u, 1e6), feat_mask, rt.plane_res
+    )
+    surf_pts, surf_mask = select_features(ds_xyz, ds_mask, sensor.max_surface_features)
+
+    # slim-release edge clouds are empty (featureExtraction.cpp:429-436);
+    # the registration path still supports them for full-capability configs.
+    edge_pts = jnp.zeros((sensor.max_edge_features, 3), dtype)
+    edge_mask = jnp.zeros((sensor.max_edge_features,), bool)
+
+    # ---------------- prediction ------------------------------------------
+    pred_pose, source, use_vio = _select_prediction(
+        cfg, state, q_imu_pred, imu_available
+    )
+
+    # ---------------- scan-to-map registration ----------------------------
+    half_extent = jnp.asarray([125.0, 125.0, 75.0], dtype)  # 5x5x3 of 50 m blocks
+    surf_map_num = census_box(state.surf_map, cfg.map, pred_pose.t, half_extent)
+    edge_map_num = census_box(state.edge_map, cfg.map, pred_pose.t, half_extent)
+    enough = surf_map_num > reg.min_map_surf_features  # LidarSlam.cpp:379-381
+
+    prior = PosePrior(
+        pose=state.vio_pose,
+        information=_vio_information(state, surf_mask, reg, dtype),
+        enabled=use_vio,
+    )
+    reg_pose, icp_stats = icp_register(
+        state.edge_map, state.surf_map, cfg.map, reg, pred_pose,
+        edge_pts, edge_mask, surf_pts, surf_mask, rt, prior,
+    )
+    run_icp = state.initialized & enough
+    pose = jax.tree_util.tree_map(
+        lambda r, p: jnp.where(run_icp, r, p), reg_pose, pred_pose
+    )
+    # NaN guard: a pathological solve never corrupts the trajectory
+    finite = jnp.all(jnp.isfinite(pose.t)) & jnp.all(jnp.isfinite(pose.q))
+    pose = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(finite, a, b), pose, pred_pose
+    )
+
+    # ---------------- post-optimization (LidarSlam.cpp:155-210) ------------
+    # manual yaw correction: yaw += |dt| * yaw_ratio (deg/m)
+    trans_from_last, rot_from_last = _pose_delta(state.pose, pose)
+    if reg.yaw_ratio != 0.0:
+        roll, pitch, yaw = rpy_from_quat(pose.q)
+        yaw = yaw + trans_from_last * (reg.yaw_ratio * jnp.pi / 180.0)
+        pose = Pose(quat_from_rpy(roll, pitch, yaw), pose.t)
+
+    dt_scan = scan.t_start - state.last_time
+    vel_gate = jnp.where(
+        state.initialized & (dt_scan > 1e-6),
+        trans_from_last / jnp.maximum(dt_scan, 1e-6)
+        < reg.velocity_failure_threshold,
+        True,
+    )
+    small_motion = (trans_from_last < 0.02) & (rot_from_last < 0.005)
+    accepted = vel_gate & ~small_motion
+    # rollbacks (the reference still inserts the scan into the map:
+    # checkMotionThresholds forces acceptResult=true, LidarSlam.cpp:193)
+    pose = jax.tree_util.tree_map(
+        lambda cur, last: jnp.where(vel_gate & ~small_motion, cur, last),
+        pose, state.pose,
+    )
+    startup_count = jnp.where(
+        ~vel_gate, 5, jnp.maximum(state.startup_count - 1, 0)
+    ).astype(jnp.int32)
+
+    # ---------------- map update ------------------------------------------
+    do_update_map = jnp.asarray(
+        (not cfg.localization.enabled) or cfg.localization.update_map
+    )
+    surf_world = pose.apply(surf_pts)
+    edge_world = pose.apply(edge_pts)
+    surf_map = insert(
+        state.surf_map, cfg.map, surf_world, surf_mask & do_update_map,
+        rt.plane_res,
+    )
+    edge_map = insert(
+        state.edge_map, cfg.map, edge_world, edge_mask & do_update_map,
+        rt.line_res,
+    )
+    surf_map = evict_far(surf_map, cfg.map, pose.t)
+    edge_map = evict_far(edge_map, cfg.map, pose.t)
+
+    # ---------------- inertial smoother (process 3) ------------------------
+    lidar2imu = Pose(matrix_to_quat(R_il), t_il)
+    pose_imu_frame = pose.compose(lidar2imu)
+    smoother, smoothed_imu = smoother_update(
+        state.smoother, cfg.imu, pose_imu_frame, scan.t_start, imu
+    )
+    smoothed_pose = smoothed_imu.compose(lidar2imu.inverse())
+
+    # ---------------- body velocities (laserMapping.cpp:744-758) ----------
+    vel_w = (pose.t - state.pose.t) / jnp.maximum(dt_scan, 1e-6)
+    vel_body = quat_rotate(quat_conj(pose.q), vel_w)
+    dq = quat_mul(pose.q, quat_conj(state.pose.q))
+    ang_vel_w = so3_log(dq) / jnp.maximum(dt_scan, 1e-6)
+    ang_vel_body = quat_rotate(quat_conj(pose.q), ang_vel_w)
+    zero_v = ~state.initialized | (dt_scan <= 1e-6)
+    vel_body = jnp.where(zero_v, 0.0, vel_body)
+    ang_vel_body = jnp.where(zero_v, 0.0, ang_vel_body)
+
+    total_trans, total_rot = _pose_delta(pred_pose, pose)
+
+    new_state = OdomState(
+        pose=pose,
+        pose_prev=state.pose,
+        q_odom_pre=jnp.where(imu_available, q_imu_pred, state.q_odom_pre),
+        startup_count=startup_count,
+        initialized=jnp.asarray(True),
+        frame_count=state.frame_count + 1,
+        last_time=jnp.asarray(scan.t_start, dtype),
+        rt=rt,
+        edge_map=edge_map,
+        surf_map=surf_map,
+        smoother=smoother,
+        degenerate=icp_stats.degenerate & run_icp,
+        vio_pose=state.vio_pose,
+        vio_available=state.vio_available,
+    )
+    out = StepOutput(
+        pose=pose,
+        smoothed_pose=smoothed_pose,
+        vel_body=vel_body,
+        ang_vel_body=ang_vel_body,
+        acc_bias=smoother.ba[-1],
+        gyr_bias=smoother.bg[-1],
+        prediction_source=source,
+        icp=icp_stats,
+        surf_stack_num=jnp.sum(surf_mask.astype(jnp.int32)),
+        edge_stack_num=jnp.sum(edge_mask.astype(jnp.int32)),
+        surf_map_num=surf_map_num,
+        edge_map_num=edge_map_num,
+        average_distance=average_distance,
+        motion_accepted=accepted,
+        imu_healthy=~smoother.failed,
+        translation_from_last=trans_from_last,
+        rotation_from_last=rot_from_last,
+        total_translation=total_trans,
+        total_rotation=total_rot,
+    )
+    return new_state, out
+
+
+def _pose_delta(a: Pose, b: Pose):
+    rel = a.inverse().compose(b)
+    return jnp.linalg.norm(rel.t), quat_angle(rel.q)
+
+
+def _vio_information(state, surf_mask, reg, dtype):
+    """Information weights of the absolute-pose constraint under degeneracy
+    (reference addAbsolutePoseConstraints, LidarSlam.cpp:285-298)."""
+    n_feat = jnp.sum(surf_mask.astype(dtype))
+    vcf = reg.visual_confidence_factor
+    unc = jnp.zeros((3,), dtype)  # refined when uncertainty is carried over
+    w_t = (1.0 - unc) * jnp.maximum(50.0, n_feat * 0.1) * vcf
+    w_rp = jnp.full((2,), jnp.maximum(10.0, n_feat * 0.01) * vcf, dtype)
+    w_yaw = jnp.zeros((1,), dtype)  # yaw weight zeroed in the reference (:294)
+    return jnp.concatenate([w_t, w_rp, w_yaw])
+
+
+def make_step_fn(cfg: PipelineConfig):
+    """jit-compiled step with the config closed over (static)."""
+
+    def _step(state, scan, imu, imu_available):
+        return step(cfg, state, scan, imu, imu_available)
+
+    return jax.jit(_step)

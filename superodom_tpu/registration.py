@@ -1,0 +1,567 @@
+"""Scan-to-map registration: correspondence extraction, robust batched
+Gauss-Newton, the ICP loop, and degeneracy / alignment-risk outputs.
+
+TPU-native rebuild of the reference's Ceres-based ICP core
+(reference src/LidarProcess/LidarSlam.cpp, src/LaserMapping/lidarOptimization.cpp):
+
+* ComputePlaneDistanceParameters / ComputeLineDistanceParameters
+  (LidarSlam.cpp:402-572) become vmapped closed-form fits over fixed-K
+  neighborhoods from the voxel-hash map, with the same rejection taxonomy
+  (MatchingResult codes, LidarSlam.h:85-94).
+* The Ceres problem (Tukey robust loss scaled by fit quality, <=4 inner
+  iterations of DENSE_QR, LidarSlam.cpp:230-275) becomes a masked reduction
+  to a 6x6 normal system solved on-chip, iterated with a fixed-shape loop.
+* EstimateRegistrationError / FeatureObservabilityAnalysis / EstimateLidar-
+  Uncertainty (LidarSlam.cpp:574-708, 854-986) become eigendecompositions of
+  the same matrices with identical outputs.
+
+The pose perturbation is the textbook left-SE(3) update
+``pose' = exp([dt, dw]) * pose`` with consistent Jacobians
+J = [I | -[w_world]x]; the reference mixes a left-multiplicative Plus with
+right-perturbation Jacobians (lidarOptimization.cpp:34 vs :83-99), which
+Ceres tolerates but is not worth reproducing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from superodom_tpu.config import MapConfig, RegistrationConfig, RuntimeParams
+from superodom_tpu.geometry import (
+    Pose,
+    apply_se3_update,
+    quat_conj,
+    quat_mul,
+    quat_rotate,
+    skew,
+)
+from superodom_tpu.mapstate import VoxelHashMap, query_knn
+from superodom_tpu.ops.eigh3 import eigh3, solve3
+
+# MatchingResult codes (reference LidarSlam.h:85-94)
+MATCH_SUCCESS = 0
+MATCH_NOT_ENOUGH_NEIGHBORS = 1
+MATCH_NEIGHBORS_TOO_FAR = 2
+MATCH_BAD_PCA_STRUCTURE = 3
+MATCH_INVALID_NUMERICAL = 4
+MATCH_MSE_TOO_LARGE = 5
+MATCH_UNKNOWN = 6
+N_REJECTION_CAUSES = 7
+
+# Feature_observability bins (reference LidarSlam.h:96-107)
+N_OBS_BINS = 9
+
+
+class PlaneCorrs(NamedTuple):
+    """Point-to-plane correspondences (fixed width = n surf features)."""
+
+    p_body: jnp.ndarray  # f32[M,3] feature point in body frame (Xvalue)
+    normal: jnp.ndarray  # f32[M,3] plane unit normal (NormDir)
+    d: jnp.ndarray  # f32[M] plane offset (negative_OA_dot_norm)
+    coeff: jnp.ndarray  # f32[M] fit-quality weight (residualCoefficient)
+    valid: jnp.ndarray  # bool[M]
+    code: jnp.ndarray  # i32[M] MatchingResult
+    obs_bins: jnp.ndarray  # i32[M,3] observability histogram contributions
+
+
+class EdgeCorrs(NamedTuple):
+    """Point-to-line correspondences."""
+
+    p_body: jnp.ndarray  # f32[M,3]
+    a: jnp.ndarray  # f32[M,3] line endpoint A (world)
+    b: jnp.ndarray  # f32[M,3] line endpoint B (world)
+    coeff: jnp.ndarray  # f32[M]
+    valid: jnp.ndarray  # bool[M]
+    code: jnp.ndarray  # i32[M]
+
+
+class PosePrior(NamedTuple):
+    """Absolute pose constraint under degeneracy (reference
+    SE3AbsolutatePoseFactor.cpp + LidarSlam.cpp:285-298)."""
+
+    pose: Pose
+    information: jnp.ndarray  # f32[6] diagonal information
+    enabled: jnp.ndarray  # bool scalar
+
+
+class RegistrationError(NamedTuple):
+    """6-DoF alignment risk (reference LidarSlam.h:127-151, LidarSlam.cpp:854-889)."""
+
+    covariance: jnp.ndarray  # f32[6,6] tangent-space covariance [t(3), r(3)]
+    position_error: jnp.ndarray  # sqrt of max position eigenvalue
+    position_error_dir: jnp.ndarray  # f32[3]
+    pos_inverse_condition: jnp.ndarray
+    orientation_error_deg: jnp.ndarray
+    orientation_error_dir: jnp.ndarray  # f32[3]
+    ori_inverse_condition: jnp.ndarray
+
+
+class IcpStats(NamedTuple):
+    """Per-scan optimization statistics (mirrors OptimizationStats.msg)."""
+
+    iter_trans_norm: jnp.ndarray  # f32[max_iters]
+    iter_rot_norm: jnp.ndarray  # f32[max_iters]
+    iter_surf_num: jnp.ndarray  # i32[max_iters]
+    iter_edge_num: jnp.ndarray  # i32[max_iters]
+    n_iterations: jnp.ndarray  # i32
+    plane_rejection_hist: jnp.ndarray  # i32[7]
+    line_rejection_hist: jnp.ndarray  # i32[7]
+    obs_histogram: jnp.ndarray  # i32[9]
+    uncertainty: jnp.ndarray  # f32[6] x,y,z,roll,pitch,yaw in [0,1]
+    error: "RegistrationError"
+    degenerate: jnp.ndarray  # bool
+
+
+# ---------------------------------------------------------------------------
+# correspondence extraction
+# ---------------------------------------------------------------------------
+
+
+def _weighted_pca(pts: jnp.ndarray, w: jnp.ndarray):
+    """Mean + unnormalized scatter-matrix eigendecomposition over masked
+    neighbors, matching utils::ComputePCA (superodom_utils.h:143-151) which
+    eigendecomposes ``centered^T centered`` without normalization."""
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
+    mean = jnp.sum(pts * w[..., None], axis=-2) / wsum
+    centered = (pts - mean[..., None, :]) * w[..., None]
+    cov = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    vals, vecs = eigh3(cov)
+    return mean, vals, vecs
+
+
+def compute_plane_correspondences(
+    surf_map: VoxelHashMap,
+    map_cfg: MapConfig,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    plane_res,
+) -> PlaneCorrs:
+    """Vmapped equivalent of ComputePlaneDistanceParameters
+    (reference LidarSlam.cpp:514-572) over all surf features at once."""
+    k = reg.plane_knn
+    m = p_body.shape[0]
+    w_pt = pose.apply(p_body)  # pFinal
+
+    neigh, sq, nvalid = query_knn(surf_map, map_cfg, w_pt, k)
+    n_found = jnp.sum(nvalid.astype(jnp.int32), axis=-1)
+    enough = n_found >= k
+    # reference compares the k-th squared distance against 3*planeRes
+    # (LidarSlam.cpp:526,741 — note its units quirk is intentional parity)
+    max_sq = 3.0 * plane_res
+    near = jnp.where(enough, sq[:, -1] <= max_sq, False)
+
+    wk = nvalid.astype(p_body.dtype)
+    mean, evals, evecs = _weighted_pca(neigh, wk)
+    pca_ok = (evals[:, 0] >= 1e-6) & (
+        evals[:, 1] / jnp.maximum(evals[:, 2], 1e-12) >= 0.1
+    )  # LidarSlam.cpp:772
+
+    # plane fit: solve A n = -1 over the k neighbors (LidarSlam.cpp:797-816)
+    A = neigh  # [M,k,3]
+    AtA = jnp.einsum("mki,mkj->mij", A, A)
+    Atb = -jnp.sum(A, axis=1)
+    n_raw = solve3(AtA, Atb)
+    n_norm = jnp.linalg.norm(n_raw, axis=-1)
+    numeric_ok = jnp.isfinite(n_norm) & (n_norm > 1e-12)
+    d = 1.0 / jnp.maximum(n_norm, 1e-12)  # negative_OA_dot_norm
+    normal = n_raw * d[:, None]
+
+    # residual gate: every neighbor within planeRes/2 of the plane
+    pt_dist = jnp.abs(jnp.einsum("mki,mi->mk", neigh, normal) + d[:, None])
+    mse_ok = jnp.all(jnp.where(nvalid, pt_dist <= plane_res / 2.0, True), axis=-1)
+    mean_dist = jnp.sum(jnp.where(nvalid, pt_dist, 0.0), axis=-1) / jnp.maximum(
+        n_found.astype(p_body.dtype), 1.0
+    )
+    coeff = 1.0 - jnp.sqrt(jnp.clip(mean_dist / max_sq, 0.0, 1.0))
+
+    valid = mask & enough & near & pca_ok & numeric_ok & mse_ok
+
+    # rejection code: first failing gate, in the reference's order
+    code = jnp.full((m,), MATCH_SUCCESS, dtype=jnp.int32)
+    code = jnp.where(~mse_ok, MATCH_MSE_TOO_LARGE, code)
+    code = jnp.where(~numeric_ok, MATCH_INVALID_NUMERICAL, code)
+    code = jnp.where(~pca_ok, MATCH_BAD_PCA_STRUCTURE, code)
+    code = jnp.where(~near, MATCH_NEIGHBORS_TOO_FAR, code)
+    code = jnp.where(~enough, MATCH_NOT_ENOUGH_NEIGHBORS, code)
+    code = jnp.where(mask, code, MATCH_UNKNOWN)
+
+    obs_bins = _observability_bins(pose, w_pt, evals, evecs)
+    return PlaneCorrs(
+        p_body=p_body,
+        normal=normal,
+        d=d,
+        coeff=jnp.where(valid, coeff, 0.0),
+        valid=valid,
+        code=code,
+        obs_bins=jnp.where(valid[:, None], obs_bins, -1),
+    )
+
+
+def _observability_bins(pose: Pose, w_pt, evals, evecs):
+    """FeatureObservabilityAnalysis (reference LidarSlam.cpp:574-693):
+    per-feature contribution bins for the 9-way observability histogram —
+    top-2 rotation axes and top-1 translation axis."""
+    # eigenvalues ascending; lamada1 >= lamada2 >= lamada3 are their sqrts
+    lam1 = jnp.sqrt(jnp.maximum(evals[:, 2], 0.0))
+    lam2 = jnp.sqrt(jnp.maximum(evals[:, 1], 0.0))
+    lam3 = jnp.sqrt(jnp.maximum(evals[:, 0], 0.0))
+    planar2 = (lam2 - lam3) / jnp.maximum(lam1, 1e-12)
+
+    normal = evecs[:, :, 0]  # smallest eigenvector = plane normal
+    # orient toward the viewpoint direction (LidarSlam.cpp:554-561)
+    flip = jnp.sum(w_pt * normal, axis=-1) < 0
+    normal = jnp.where(flip[:, None], -normal, normal)
+
+    axes = quat_rotate(pose.q[None, :], jnp.eye(3, dtype=w_pt.dtype))  # [3,3] rows
+    cross = jnp.cross(w_pt, normal)  # [M,3]
+    rx = cross @ axes[0]
+    ry = cross @ axes[1]
+    rz = cross @ axes[2]
+    rot_quality = jnp.stack([rx, -rx, ry, -ry, rz, -rz], axis=-1)  # bins 0..5
+
+    p2 = planar2 * planar2
+    tx = p2 * jnp.abs(normal @ axes[0])
+    ty = p2 * jnp.abs(normal @ axes[1])
+    tz = p2 * jnp.abs(normal @ axes[2])
+    trans_quality = jnp.stack([tx, ty, tz], axis=-1)  # bins 6..8
+
+    top1 = jnp.argmax(rot_quality, axis=-1)
+    masked = rot_quality.at[jnp.arange(rot_quality.shape[0]), top1].set(-jnp.inf)
+    top2 = jnp.argmax(masked, axis=-1)
+    t_top = jnp.argmax(trans_quality, axis=-1) + 6
+    return jnp.stack([top1, top2, t_top], axis=-1).astype(jnp.int32)
+
+
+def compute_edge_correspondences(
+    edge_map: VoxelHashMap,
+    map_cfg: MapConfig,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    line_res,
+) -> EdgeCorrs:
+    """Vmapped equivalent of ComputeLineDistanceParameters + the line-inlier
+    selection of nearestKSearchSpecificEdgePoint (reference
+    LidarSlam.cpp:402-493, LocalMap.h:377-474)."""
+    k = reg.edge_knn
+    m = p_body.shape[0]
+    w_pt = pose.apply(p_body)
+
+    neigh, sq, nvalid = query_knn(edge_map, map_cfg, w_pt, k)
+
+    # --- line-inlier consensus: best line through the closest point -------
+    p1 = neigh[:, 0, :]  # closest neighbor
+    rest = neigh[:, 1:, :]  # [M,k-1,3]
+    rest_valid = nvalid[:, 1:]
+    dirs = rest - p1[:, None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    # inlier test of candidate c against line through p1 along dirs[j]
+    rel = rest[:, None, :, :] - p1[:, None, None, :]  # [M,1,k-1,3]
+    cross = jnp.cross(rel, dirs[:, :, None, :])  # [M,k-1(j),k-1(c),3]
+    dist_sq = jnp.sum(cross * cross, axis=-1)
+    thresh = reg.edge_max_dist_inlier**2
+    eye = jnp.eye(k - 1, dtype=bool)[None]
+    is_inlier = (dist_sq < thresh) | eye
+    is_inlier = is_inlier & rest_valid[:, None, :] & rest_valid[:, :, None]
+    inlier_counts = jnp.sum(is_inlier.astype(jnp.int32), axis=-1)  # [M,k-1]
+    best_j = jnp.argmax(inlier_counts, axis=-1)
+    sel = jnp.take_along_axis(is_inlier, best_j[:, None, None], axis=1)[:, 0, :]
+    # selected set = closest point + inliers of the winning line
+    sel_full = jnp.concatenate([nvalid[:, :1], sel], axis=-1)  # [M,k]
+
+    n_sel = jnp.sum(sel_full.astype(jnp.int32), axis=-1)
+    enough = n_sel >= reg.min_edge_neighbors
+    max_sq = 3.0 * line_res
+    sel_sq = jnp.where(sel_full, sq, -jnp.inf)
+    far_gate = jnp.max(sel_sq, axis=-1) <= max_sq  # farthest selected neighbor
+
+    wk = sel_full.astype(p_body.dtype)
+    mean, evals, evecs = _weighted_pca(neigh, wk)
+    # line-likeness gate (LidarSlam.cpp:783): lambda_max >= min_neighbors * lambda_mid
+    pca_ok = evals[:, 2] >= reg.min_edge_neighbors * evals[:, 1]
+
+    line_dir = evecs[:, :, 2]
+    # point-to-line residual gate via projection matrix (LidarSlam.cpp:451-473)
+    relm = neigh - mean[:, None, :]
+    along = jnp.einsum("mki,mi->mk", relm, line_dir)
+    perp_sq = jnp.sum(relm * relm, axis=-1) - along * along
+    mse_ok = jnp.all(jnp.where(sel_full, perp_sq <= max_sq, True), axis=-1)
+    mean_sq = jnp.sum(jnp.where(sel_full, perp_sq, 0.0), axis=-1) / jnp.maximum(
+        n_sel.astype(p_body.dtype), 1.0
+    )
+    coeff = 1.0 - jnp.sqrt(jnp.clip(mean_sq / max_sq, 0.0, 1.0))
+
+    valid = mask & enough & far_gate & pca_ok & mse_ok
+
+    seg_len = 0.1  # 10 cm virtual segment (LidarSlam.cpp:479)
+    a = mean + seg_len * line_dir
+    b = mean - seg_len * line_dir
+
+    code = jnp.full((m,), MATCH_SUCCESS, dtype=jnp.int32)
+    code = jnp.where(~mse_ok, MATCH_MSE_TOO_LARGE, code)
+    code = jnp.where(~pca_ok, MATCH_BAD_PCA_STRUCTURE, code)
+    code = jnp.where(~far_gate, MATCH_NEIGHBORS_TOO_FAR, code)
+    code = jnp.where(~enough, MATCH_NOT_ENOUGH_NEIGHBORS, code)
+    code = jnp.where(mask, code, MATCH_UNKNOWN)
+
+    return EdgeCorrs(
+        p_body=p_body,
+        a=a,
+        b=b,
+        coeff=jnp.where(valid, coeff, 0.0),
+        valid=valid,
+        code=code,
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust Gauss-Newton on SE(3)
+# ---------------------------------------------------------------------------
+
+
+def _tukey_weight(sq_res, a_sq):
+    """IRLS weight of Ceres TukeyLoss(a): rho'(s) = (1 - s/a^2)^2 for s<=a^2
+    else 0 (reference uses TukeyLoss(sqrt(3*res)), LidarSlam.cpp:263,271)."""
+    ratio = sq_res / jnp.maximum(a_sq, 1e-12)
+    w = jnp.where(ratio < 1.0, (1.0 - ratio) ** 2, 0.0)
+    return w
+
+
+def _accumulate_normal_system(
+    pose: Pose,
+    planes: PlaneCorrs,
+    edges: EdgeCorrs,
+    rt: RuntimeParams,
+    prior: Optional[PosePrior],
+):
+    """Build H (6x6) and g (6,) from all correspondences at the current pose.
+
+    Residual/Jacobian math mirrors SurfNormAnalyticCostFunction and
+    EdgeAnalyticCostFunction (lidarOptimization.cpp:12-80) with consistent
+    left-SE(3) perturbation; robust weights mirror Tukey(sqrt(3*res)) x
+    ScaledLoss(fitQuality) (LidarSlam.cpp:260-275).
+    """
+    dtype = planes.p_body.dtype
+
+    # ---- planes ----------------------------------------------------------
+    wp = pose.apply(planes.p_body)  # [Mp,3]
+    r_p = jnp.einsum("mi,mi->m", planes.normal, wp) + planes.d  # [Mp]
+    J_p = jnp.concatenate([planes.normal, jnp.cross(wp, planes.normal)], axis=-1)
+    w_tukey_p = _tukey_weight(r_p * r_p, 3.0 * rt.plane_res)
+    w_p = planes.valid.astype(dtype) * planes.coeff * w_tukey_p
+    H = jnp.einsum("m,mi,mj->ij", w_p, J_p, J_p)
+    g = jnp.einsum("m,mi,m->i", w_p, J_p, r_p)
+    cost = jnp.sum(w_p * r_p * r_p)
+
+    # ---- edges -----------------------------------------------------------
+    we = pose.apply(edges.p_body)  # [Me,3]
+    d_ab = edges.a - edges.b
+    d_norm = jnp.maximum(jnp.linalg.norm(d_ab, axis=-1, keepdims=True), 1e-9)
+    r_e = jnp.cross(we - edges.a, we - edges.b) / d_norm  # [Me,3]
+    L = skew(-d_ab / d_norm)  # dr/dw = [b-a]x / |a-b|
+    Jw = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), L.shape),
+            -skew(we),
+        ],
+        axis=-1,
+    )  # [Me,3,6] : dw/d[dt,dw]
+    J_e = jnp.einsum("mij,mjk->mik", L, Jw)  # [Me,3,6]
+    sq_e = jnp.sum(r_e * r_e, axis=-1)
+    w_tukey_e = _tukey_weight(sq_e, 3.0 * rt.line_res)
+    w_e = edges.valid.astype(dtype) * edges.coeff * w_tukey_e
+    H = H + jnp.einsum("m,mri,mrj->ij", w_e, J_e, J_e)
+    g = g + jnp.einsum("m,mri,mr->i", w_e, J_e, r_e)
+    cost = cost + jnp.sum(w_e * sq_e)
+
+    # ---- absolute pose prior (degeneracy aid) ----------------------------
+    if prior is not None:
+        r_t = pose.t - prior.pose.t
+        dq = quat_mul(quat_conj(prior.pose.q), pose.q)
+        r_r = 2.0 * dq[1:4]
+        r6 = jnp.concatenate([r_t, r_r])
+        lam = prior.information * prior.enabled.astype(dtype)
+        H = H + jnp.diag(lam)
+        g = g + lam * r6
+
+    return H, g, cost
+
+
+def gauss_newton_solve(
+    pose: Pose,
+    planes: PlaneCorrs,
+    edges: EdgeCorrs,
+    rt: RuntimeParams,
+    n_iters: int,
+    prior: Optional[PosePrior] = None,
+    damping: float = 1e-4,
+):
+    """Fixed-count damped Gauss-Newton on SE(3) with IRLS robust weights —
+    the stand-in for ceres::Solve (DENSE_QR, max 4 iterations,
+    LidarSlam.cpp:230-240).  Returns (pose, H_final, converged_in_one)."""
+
+    def body(carry, _):
+        p, first_step_small = carry
+        H, g, _ = _accumulate_normal_system(p, planes, edges, rt, prior)
+        Hd = H + damping * jnp.eye(6, dtype=g.dtype) * (1.0 + jnp.diag(H))
+        delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), g)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        p_new = apply_se3_update(p, delta)
+        step_small = jnp.linalg.norm(delta) < 1e-6
+        return (p_new, first_step_small), step_small
+
+    (pose_out, _), steps = jax.lax.scan(
+        body, (pose, jnp.array(False)), None, length=n_iters
+    )
+    H_final, _, _ = _accumulate_normal_system(pose_out, planes, edges, rt, prior)
+    return pose_out, H_final, steps[0]
+
+
+# ---------------------------------------------------------------------------
+# degeneracy / uncertainty outputs
+# ---------------------------------------------------------------------------
+
+
+def estimate_registration_error(H: jnp.ndarray) -> RegistrationError:
+    """Tangent-space covariance analysis (reference LidarSlam.cpp:854-889):
+    cov = H^-1, then eigenanalysis of the position and orientation blocks."""
+    dtype = H.dtype
+    Hd = H + 1e-6 * jnp.eye(6, dtype=dtype)
+    cov = jnp.linalg.inv(Hd)
+    evals_p, evecs_p = eigh3(cov[:3, :3])
+    evals_r, evecs_r = eigh3(cov[3:, 3:])
+    sqrt = lambda x: jnp.sqrt(jnp.maximum(x, 0.0))
+    return RegistrationError(
+        covariance=cov,
+        position_error=sqrt(evals_p[2]),
+        position_error_dir=evecs_p[:, 2],
+        pos_inverse_condition=sqrt(evals_p[0]) / jnp.maximum(sqrt(evals_p[2]), 1e-12),
+        orientation_error_deg=jnp.rad2deg(sqrt(evals_r[2])),
+        orientation_error_dir=evecs_r[:, 2],
+        ori_inverse_condition=sqrt(evals_r[0]) / jnp.maximum(sqrt(evals_r[2]), 1e-12),
+    )
+
+
+def lidar_uncertainty_from_histogram(hist: jnp.ndarray) -> jnp.ndarray:
+    """EstimateLidarUncertainty (reference LidarSlam.cpp:915-986): map the
+    9-bin observability histogram to 6 normalized uncertainties
+    (x, y, z, roll, pitch, yaw), 0 = well constrained, 1 = unconstrained."""
+    h = hist.astype(jnp.float32)
+    trans_total = h[6] + h[7] + h[8]
+    rot_total = h[0] + h[1] + h[2] + h[3] + h[4] + h[5]
+    safe_t = jnp.maximum(trans_total, 1.0)
+    safe_r = jnp.maximum(rot_total, 1.0)
+    u = jnp.stack(
+        [
+            jnp.minimum(h[6] / safe_t * 3.0, 1.0),
+            jnp.minimum(h[7] / safe_t * 3.0, 1.0),
+            jnp.minimum(h[8] / safe_t * 3.0, 1.0),
+            jnp.minimum((h[0] + h[1]) / safe_r * 3.0, 1.0),
+            jnp.minimum((h[2] + h[3]) / safe_r * 3.0, 1.0),
+            jnp.minimum((h[4] + h[5]) / safe_r * 3.0, 1.0),
+        ]
+    )
+    return jnp.where((trans_total == 0) | (rot_total == 0), 0.0, u)
+
+
+def _histogram(codes: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    # negative codes mean "no contribution"; remap to a positive OOB sentinel
+    # (negative indices wrap NumPy-style in JAX scatters)
+    idx = jnp.where(codes < 0, n_bins, codes)
+    return jnp.zeros((n_bins,), jnp.int32).at[idx].add(1, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# the ICP loop
+# ---------------------------------------------------------------------------
+
+
+def icp_register(
+    edge_map: VoxelHashMap,
+    surf_map: VoxelHashMap,
+    map_cfg: MapConfig,
+    reg: RegistrationConfig,
+    pose0: Pose,
+    edge_pts: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    surf_pts: jnp.ndarray,
+    surf_mask: jnp.ndarray,
+    rt: RuntimeParams,
+    prior: Optional[PosePrior] = None,
+) -> Tuple[Pose, IcpStats]:
+    """Scan-to-map ICP (reference performLocalizationAndMapping,
+    LidarSlam.cpp:107-152): fixed outer iterations of correspondence
+    extraction + robust GN, with a convergence mask freezing finished
+    instances (static shapes keep this vmappable over robot instances)."""
+    max_it = reg.max_icp_iters
+    dtype = surf_pts.dtype
+
+    def outer(carry, _):
+        pose, converged, _last = carry
+        planes = compute_plane_correspondences(
+            surf_map, map_cfg, reg, pose, surf_pts, surf_mask, rt.plane_res
+        )
+        lines = compute_edge_correspondences(
+            edge_map, map_cfg, reg, pose, edge_pts, edge_mask, rt.line_res
+        )
+        new_pose, H, one_step = gauss_newton_solve(
+            pose, planes, lines, rt, reg.max_gn_iters, prior
+        )
+        # freeze once converged (mirrors the num_successful_steps==1 break)
+        new_pose = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(converged, o, n), new_pose, pose
+        )
+        rel_t = jnp.linalg.norm(new_pose.t - pose.t)
+        dq = quat_mul(quat_conj(pose.q), new_pose.q)
+        rel_r = 2.0 * jnp.arctan2(jnp.linalg.norm(dq[1:4]), jnp.abs(dq[0]))
+        it_stats = (
+            rel_t,
+            rel_r,
+            jnp.sum(planes.valid.astype(jnp.int32)),
+            jnp.sum(lines.valid.astype(jnp.int32)),
+            jnp.logical_not(converged),
+        )
+        now_converged = converged | one_step | (
+            (rel_t < reg.trans_converge_tol) & (rel_r < reg.rot_converge_tol)
+        )
+        return (new_pose, now_converged, (planes, lines, H)), it_stats
+
+    # run once eagerly to build the carry structure for lax.scan
+    init_planes = compute_plane_correspondences(
+        surf_map, map_cfg, reg, pose0, surf_pts, surf_mask, rt.plane_res
+    )
+    init_lines = compute_edge_correspondences(
+        edge_map, map_cfg, reg, pose0, edge_pts, edge_mask, rt.line_res
+    )
+    init_H = jnp.zeros((6, 6), dtype)
+    carry0 = (pose0, jnp.array(False), (init_planes, init_lines, init_H))
+
+    (pose, _, (planes, lines, H)), (t_norms, r_norms, surf_ns, edge_ns, active) = (
+        jax.lax.scan(outer, carry0, None, length=max_it)
+    )
+
+    err = estimate_registration_error(H)
+    obs_flat = jnp.where(
+        planes.valid[:, None], planes.obs_bins, -jnp.ones_like(planes.obs_bins)
+    ).reshape(-1)
+    obs_hist = _histogram(obs_flat, N_OBS_BINS)
+    stats = IcpStats(
+        iter_trans_norm=t_norms,
+        iter_rot_norm=r_norms,
+        iter_surf_num=surf_ns,
+        iter_edge_num=edge_ns,
+        n_iterations=jnp.sum(active.astype(jnp.int32)),
+        plane_rejection_hist=_histogram(planes.code, N_REJECTION_CAUSES),
+        line_rejection_hist=_histogram(lines.code, N_REJECTION_CAUSES),
+        obs_histogram=obs_hist,
+        uncertainty=lidar_uncertainty_from_histogram(obs_hist),
+        error=err,
+        degenerate=err.pos_inverse_condition < reg.pos_degeneracy_threshold,
+    )
+    return pose.normalize(), stats

@@ -1,0 +1,161 @@
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from superodom_tpu.config import (
+    ImuConfig,
+    MapConfig,
+    PipelineConfig,
+    RegistrationConfig,
+    SensorProfile,
+)
+from superodom_tpu.io.datasets import BoxWorld, ate_rmse, make_dataset
+from superodom_tpu.runner import OdometryRunner
+from superodom_tpu import pipeline as pl
+
+
+def tiny_config(max_points=4096, surf_cap=768) -> PipelineConfig:
+    sensor = SensorProfile(
+        name="velodyne", n_scan_lines=16, max_points=max_points,
+        min_range=0.2, max_range=130.0, filter_point_size=2,
+        max_surface_features=surf_cap, max_edge_features=64,
+        scan_period=0.1, default_line_res=0.1, default_plane_res=0.2,
+    )
+    return PipelineConfig(
+        sensor=sensor,
+        map=MapConfig(cell_size=1.0, table_size=1 << 13, cell_capacity=24,
+                      n_probes=8, evict_radius=200.0),
+        registration=RegistrationConfig(max_icp_iters=4, max_gn_iters=4),
+        imu=ImuConfig(max_imu_per_scan=48, window_size=6, smoother_gn_iters=3),
+        auto_voxel_size=False,
+    )
+
+
+def test_lidar_only_circle_trajectory(rng):
+    """Minimum end-to-end slice (SURVEY.md build step 6): mapping mode,
+    no IMU, constant-velocity prediction, closed-loop circle; checks ATE and
+    the reference benchmark's 10 cm return-to-origin criterion scaled to the
+    noise level of the synthetic world."""
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=40, points_per_scan=3000, radius=4.0,
+                      distortion=False)
+    runner = OdometryRunner(cfg)
+    res = runner.run_dataset(ds, use_imu=False)
+
+    ate = ate_rmse(res.poses_t, ds.gt_poses_t)
+    assert ate < 0.12, f"ATE {ate}"
+    rto = np.linalg.norm(res.poses_t[-1] - ds.gt_poses_t[-1])
+    assert rto < 0.15, f"return-to-origin {rto}"
+    # stats stream present and sane
+    assert res.stats[5]["surf_stack"] > 100
+    assert res.stats[5]["surf_map"] > 1000
+    assert res.stats[5]["pred_source"] == pl.PRED_CONSTANT_VELOCITY
+
+
+def test_imu_aided_run(rng):
+    """With IMU: undistortion active, prediction source = IMU orientation,
+    smoother produces finite biases and healthy status."""
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=40, points_per_scan=3000, radius=4.0,
+                      distortion=True)
+    runner = OdometryRunner(cfg)
+    res = runner.run_dataset(ds, use_imu=True)
+
+    ate = ate_rmse(res.poses_t, ds.gt_poses_t)
+    assert ate < 0.15, f"ATE {ate}"
+    # after warmup the prediction source should be IMU orientation
+    sources = [s["pred_source"] for s in res.stats[15:]]
+    assert pl.PRED_IMU_ORIENTATION in sources
+    assert all(s["imu_healthy"] for s in res.stats[15:])
+    assert np.isfinite(res.smoothed_t).all()
+
+
+def test_first_frame_seeds_map(rng):
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=2, points_per_scan=2000, radius=4.0)
+    runner = OdometryRunner(cfg)
+    out0 = runner.process_scan(ds.scans[0].t_start, ds.scans[0].xyz_body,
+                               ds.scans[0].t_rel)
+    assert int(out0.surf_map_num) == 0  # census before first insert
+    assert bool(runner.state.initialized)
+    out1 = runner.process_scan(ds.scans[1].t_start, ds.scans[1].xyz_body,
+                               ds.scans[1].t_rel)
+    assert int(out1.surf_map_num) > 300
+
+
+def test_localization_mode_against_prior_map(rng):
+    """Dual-mode operation (reference laserMapping.cpp:129-177): load a prior
+    map, init from a configured pose, localize without (necessarily)
+    updating the map."""
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=25, points_per_scan=3000, radius=4.0,
+                      distortion=False)
+    # build the prior map by running SLAM once
+    slam = OdometryRunner(cfg)
+    slam.run_dataset(ds, use_imu=False)
+    prior_surf_map = slam.state.surf_map
+
+    # localization from a configured (true) init pose with a deliberate
+    # small offset that ICP must absorb
+    loc_cfg = dataclasses.replace(
+        cfg,
+        localization=dataclasses.replace(
+            cfg.localization, enabled=True, update_map=False,
+            init_pose_xyz=(0.08, -0.06, 0.02), init_pose_rpy=(0.0, 0.0, 0.02),
+        ),
+    )
+    loc = OdometryRunner(loc_cfg)
+    loc.state = loc.state._replace(surf_map=prior_surf_map)
+    res = loc.run_dataset(ds, use_imu=False)
+    ate = ate_rmse(res.poses_t, ds.gt_poses_t)
+    assert ate < 0.12, f"localization ATE {ate}"
+    # map must not grow in localization mode with update_map=False
+    from superodom_tpu.mapstate import total_points
+    assert int(total_points(loc.state.surf_map)) == int(total_points(prior_surf_map))
+
+
+def test_velocity_failure_gate(rng):
+    """A scan teleported far away must be rejected by the motion gate
+    (reference checkMotionThresholds, LidarSlam.cpp:173-195)."""
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=6, points_per_scan=2500, radius=4.0,
+                      distortion=False)
+    runner = OdometryRunner(cfg)
+    for s in ds.scans[:5]:
+        runner.process_scan(s.t_start, s.xyz_body, s.t_rel)
+    pose_before = np.asarray(runner.state.pose.t)
+    s = ds.scans[5]
+    out = runner.process_scan(s.t_start, s.xyz_body + 50.0, s.t_rel)
+    assert not bool(out.motion_accepted)
+    pose_after = np.asarray(runner.state.pose.t)
+    np.testing.assert_allclose(pose_after, pose_before, atol=1e-5)
+
+
+def test_state_is_checkpointable(rng, tmp_path):
+    """Whole-estimator checkpoint/resume: the state is one pytree
+    (SURVEY.md section 5 checkpoint row)."""
+    import jax
+
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=8, points_per_scan=2000, radius=4.0)
+    runner = OdometryRunner(cfg)
+    for s in ds.scans[:4]:
+        runner.process_scan(s.t_start, s.xyz_body, s.t_rel)
+
+    flat, treedef = jax.tree_util.tree_flatten(runner.state)
+    np.savez(tmp_path / "ckpt.npz", *[np.asarray(x) for x in flat])
+    loaded = np.load(tmp_path / "ckpt.npz")
+    restored = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(loaded[k]) for k in loaded.files]
+    )
+
+    r2 = OdometryRunner(cfg)
+    r2.state = restored
+    outs_a, outs_b = [], []
+    for s in ds.scans[4:6]:
+        outs_a.append(runner.process_scan(s.t_start, s.xyz_body, s.t_rel))
+        outs_b.append(r2.process_scan(s.t_start, s.xyz_body, s.t_rel))
+    np.testing.assert_allclose(
+        np.asarray(outs_a[-1].pose.t), np.asarray(outs_b[-1].pose.t), atol=1e-5
+    )

@@ -1,0 +1,224 @@
+import numpy as np
+import jax.numpy as jnp
+
+from superodom_tpu.config import MapConfig, RegistrationConfig, RuntimeParams
+from superodom_tpu import mapstate as ms
+from superodom_tpu import geometry as geo
+from superodom_tpu import registration as reg
+
+
+MAP_CFG = MapConfig(cell_size=1.0, table_size=1 << 13, cell_capacity=32, n_probes=8)
+REG_CFG = RegistrationConfig()
+RT = RuntimeParams(line_res=jnp.float32(0.1), plane_res=jnp.float32(0.2))
+
+
+def make_room_cloud(rng, n_per_wall=800, half=8.0, noise=0.005):
+    """Points on the walls/floor/ceiling of a box room: six planes with
+    distinct normals — fully constrains all 6 DoF."""
+    clouds = []
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            uv = rng.uniform(-half, half, size=(n_per_wall, 2)).astype(np.float32)
+            pts = np.zeros((n_per_wall, 3), dtype=np.float32)
+            other = [a for a in range(3) if a != axis]
+            pts[:, other[0]] = uv[:, 0]
+            pts[:, other[1]] = uv[:, 1]
+            pts[:, axis] = sign * half
+            clouds.append(pts)
+    cloud = np.concatenate(clouds)
+    cloud += rng.normal(scale=noise, size=cloud.shape).astype(np.float32)
+    return cloud
+
+
+def build_surf_map(rng, world_pts):
+    m = ms.empty_map(MAP_CFG)
+    # insert in two passes for density (thinning keeps spacing ~ plane_res/2)
+    for chunk in np.array_split(world_pts, 2):
+        m = ms.insert(m, MAP_CFG, jnp.asarray(chunk),
+                      jnp.ones(len(chunk), bool), 0.05)
+    return m
+
+
+def test_plane_correspondences_on_synthetic_room(rng):
+    world = make_room_cloud(rng)
+    m = build_surf_map(rng, world)
+    # scan points = subset of wall points viewed from identity pose
+    scan = world[rng.choice(len(world), 256, replace=False)]
+    pose = geo.Pose.identity()
+    corrs = reg.compute_plane_correspondences(
+        m, MAP_CFG, REG_CFG, pose, jnp.asarray(scan),
+        jnp.ones(len(scan), bool), RT.plane_res)
+    valid = np.asarray(corrs.valid)
+    assert valid.mean() > 0.6
+    # residuals of valid correspondences must be tiny at the true pose
+    r = np.einsum("mi,mi->m", np.asarray(corrs.normal), scan) + np.asarray(corrs.d)
+    assert np.abs(r[valid]).max() < 0.06
+    # normals must match wall axes
+    n = np.abs(np.asarray(corrs.normal)[valid])
+    assert np.all(n.max(axis=1) > 0.97)
+
+
+def test_plane_rejection_codes(rng):
+    world = make_room_cloud(rng)
+    m = build_surf_map(rng, world)
+    # query far from any wall -> NOT_ENOUGH_NEIGHBORS
+    scan = np.zeros((4, 3), np.float32)
+    corrs = reg.compute_plane_correspondences(
+        m, MAP_CFG, REG_CFG, geo.Pose.identity(), jnp.asarray(scan),
+        jnp.ones(4, bool), RT.plane_res)
+    assert not bool(np.asarray(corrs.valid).any())
+    assert np.all(np.asarray(corrs.code) == reg.MATCH_NOT_ENOUGH_NEIGHBORS)
+    # masked-out points report UNKNOWN
+    corrs2 = reg.compute_plane_correspondences(
+        m, MAP_CFG, REG_CFG, geo.Pose.identity(), jnp.asarray(scan),
+        jnp.zeros(4, bool), RT.plane_res)
+    assert np.all(np.asarray(corrs2.code) == reg.MATCH_UNKNOWN)
+
+
+def _empty_edges(n=8):
+    z = jnp.zeros((n, 3), jnp.float32)
+    return z, jnp.zeros((n,), bool)
+
+
+def test_icp_recovers_known_offset(rng):
+    world = make_room_cloud(rng, n_per_wall=1500)
+    m = build_surf_map(rng, world)
+    edge_m = ms.empty_map(MAP_CFG)
+
+    # true pose: modest rotation + translation; scan = walls seen from there
+    true_pose = geo.Pose(
+        geo.quat_from_rpy(jnp.float32(0.02), jnp.float32(-0.03), jnp.float32(0.08)),
+        jnp.asarray([0.3, -0.2, 0.1], jnp.float32),
+    )
+    scan_world = world[rng.choice(len(world), 1200, replace=False)]
+    scan_body = np.asarray(true_pose.inverse().apply(jnp.asarray(scan_world)))
+
+    # start from identity (0.3+ m / ~5 deg away)
+    e_pts, e_mask = _empty_edges()
+    est, stats = reg.icp_register(
+        edge_m, m, MAP_CFG, REG_CFG, geo.Pose.identity(),
+        e_pts, e_mask, jnp.asarray(scan_body), jnp.ones(len(scan_body), bool), RT)
+
+    t_err = np.linalg.norm(np.asarray(est.t) - np.asarray(true_pose.t))
+    dq = geo.quat_mul(geo.quat_conj(true_pose.q), est.q)
+    r_err = 2 * np.arctan2(np.linalg.norm(np.asarray(dq)[1:]), abs(float(dq[0])))
+    assert t_err < 0.02, f"translation error {t_err}"
+    assert r_err < 0.01, f"rotation error {r_err}"
+    assert int(stats.iter_surf_num[0]) > 300
+    assert not bool(stats.degenerate)
+
+
+def test_icp_degenerate_corridor(rng):
+    """Two parallel walls only: translation along the corridor (x) is
+    unobservable -> uncertainty_x high, degeneracy flagged via condition
+    number."""
+    n = 4000
+    uv = rng.uniform(-8, 8, size=(n, 2)).astype(np.float32)
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = uv[:, 0]
+    pts[:, 2] = uv[:, 1]
+    pts[: n // 2, 1] = -2.0
+    pts[n // 2 :, 1] = 2.0
+    pts += rng.normal(scale=0.005, size=pts.shape).astype(np.float32)
+    m = build_surf_map(rng, pts)
+    edge_m = ms.empty_map(MAP_CFG)
+
+    scan = pts[rng.choice(n, 800, replace=False)]
+    e_pts, e_mask = _empty_edges()
+    est, stats = reg.icp_register(
+        edge_m, m, MAP_CFG, REG_CFG, geo.Pose.identity(),
+        e_pts, e_mask, jnp.asarray(scan), jnp.ones(len(scan), bool), RT)
+    unc = np.asarray(stats.uncertainty)
+    # uncertainty ordering: x,y,z,roll,pitch,yaw; only y is constrained
+    assert unc[0] > 0.9  # x unobservable
+    assert unc[1] < 0.2  # y well constrained
+    assert float(stats.error.pos_inverse_condition) < 0.2
+
+
+def test_edge_correspondences_and_registration(rng):
+    """Vertical pole lattice: edges constrain x/y; check line fits and that
+    edge-only ICP recovers a small planar offset."""
+    poles = []
+    for cx in range(-6, 7, 3):
+        for cy in range(-6, 7, 3):
+            z = rng.uniform(-3, 3, size=(160, 1)).astype(np.float32)
+            xy = np.tile(np.array([[cx, cy]], np.float32), (160, 1))
+            poles.append(np.concatenate([xy, z], axis=1))
+    world = np.concatenate(poles)
+    world += rng.normal(scale=0.004, size=world.shape).astype(np.float32)
+
+    edge_m = ms.empty_map(MAP_CFG)
+    for chunk in np.array_split(world, 2):
+        edge_m = ms.insert(edge_m, MAP_CFG, jnp.asarray(chunk),
+                           jnp.ones(len(chunk), bool), 0.03)
+    surf_m = ms.empty_map(MAP_CFG)
+
+    corrs = reg.compute_edge_correspondences(
+        edge_m, MAP_CFG, REG_CFG, geo.Pose.identity(),
+        jnp.asarray(world[:256]), jnp.ones(256, bool), RT.line_res)
+    valid = np.asarray(corrs.valid)
+    assert valid.mean() > 0.5
+    # line direction must be vertical: a-b along z
+    ab = np.asarray(corrs.a - corrs.b)[valid]
+    ab /= np.linalg.norm(ab, axis=1, keepdims=True)
+    assert np.abs(ab[:, 2]).min() > 0.95
+
+    true_pose = geo.Pose(
+        geo.quat_from_rpy(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.04)),
+        jnp.asarray([0.15, -0.1, 0.0], jnp.float32),
+    )
+    scan_world = world[rng.choice(len(world), 600, replace=False)]
+    scan_body = np.asarray(true_pose.inverse().apply(jnp.asarray(scan_world)))
+    s_pts = jnp.zeros((8, 3), jnp.float32)
+    est, _ = reg.icp_register(
+        edge_m, surf_m, MAP_CFG, REG_CFG, geo.Pose.identity(),
+        jnp.asarray(scan_body), jnp.ones(len(scan_body), bool),
+        s_pts, jnp.zeros(8, bool), RT)
+    # x/y/yaw recovered (z unobservable for vertical lines)
+    t_err = np.linalg.norm(np.asarray(est.t)[:2] - np.asarray(true_pose.t)[:2])
+    assert t_err < 0.03, f"xy error {t_err}"
+
+
+def test_tukey_weight():
+    w = np.asarray(reg._tukey_weight(jnp.asarray([0.0, 0.15, 0.29, 0.3, 1.0]),
+                                     jnp.float32(0.3)))
+    np.testing.assert_allclose(w[0], 1.0)
+    assert 0 < w[1] < 1 and 0 < w[2] < 0.01
+    np.testing.assert_allclose(w[3:], 0.0)
+
+
+def test_uncertainty_histogram_mapping():
+    # all features constrain x translation only -> x uncertain (bin 6 dominant)
+    hist = jnp.asarray([10, 10, 10, 10, 10, 10, 60, 0, 0], jnp.int32)
+    u = np.asarray(reg.lidar_uncertainty_from_histogram(hist))
+    assert u[0] == 1.0 and u[1] == 0.0 and u[2] == 0.0
+    # empty histogram -> zeros (reference LidarSlam.cpp:956-964)
+    u0 = np.asarray(reg.lidar_uncertainty_from_histogram(jnp.zeros(9, jnp.int32)))
+    np.testing.assert_allclose(u0, 0.0)
+
+
+def test_pose_prior_pulls_solution(rng):
+    """With a strong absolute-pose prior and no correspondences, GN must move
+    the pose to the prior (SE3AbsolutatePoseFactor behavior)."""
+    target = geo.Pose(
+        geo.quat_from_rpy(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.3)),
+        jnp.asarray([1.0, 2.0, 3.0], jnp.float32),
+    )
+    prior = reg.PosePrior(
+        pose=target,
+        information=jnp.full((6,), 1e4, jnp.float32),
+        enabled=jnp.array(True),
+    )
+    n = 8
+    planes = reg.PlaneCorrs(
+        p_body=jnp.zeros((n, 3)), normal=jnp.zeros((n, 3)), d=jnp.zeros(n),
+        coeff=jnp.zeros(n), valid=jnp.zeros(n, bool),
+        code=jnp.zeros(n, jnp.int32), obs_bins=jnp.zeros((n, 3), jnp.int32))
+    edges = reg.EdgeCorrs(
+        p_body=jnp.zeros((n, 3)), a=jnp.zeros((n, 3)), b=jnp.ones((n, 3)),
+        coeff=jnp.zeros(n), valid=jnp.zeros(n, bool), code=jnp.zeros(n, jnp.int32))
+    pose, _, _ = reg.gauss_newton_solve(
+        geo.Pose.identity(), planes, edges, RT, 8, prior)
+    np.testing.assert_allclose(np.asarray(pose.t), [1, 2, 3], atol=1e-2)
+    dq = geo.quat_mul(geo.quat_conj(target.q), pose.q)
+    assert abs(float(dq[0])) > 0.9999
