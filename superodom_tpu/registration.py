@@ -161,15 +161,17 @@ def compute_plane_correspondences(
         evals[:, 1] / jnp.maximum(evals[:, 2], 1e-12) >= 0.1
     )  # LidarSlam.cpp:772
 
-    # plane fit: solve A n = -1 over the k neighbors (LidarSlam.cpp:797-816)
-    A = neigh  # [M,k,3]
-    AtA = jnp.einsum("mki,mkj->mij", A, A)
-    Atb = -jnp.sum(A, axis=1)
-    n_raw = solve3(AtA, Atb)
-    n_norm = jnp.linalg.norm(n_raw, axis=-1)
-    numeric_ok = jnp.isfinite(n_norm) & (n_norm > 1e-12)
-    d = 1.0 / jnp.maximum(n_norm, 1e-12)  # negative_OA_dot_norm
-    normal = n_raw * d[:, None]
+    # plane fit: the reference solves A n = -1 by QR in f64
+    # (LidarSlam.cpp:797-816); in f32 the normal-equation route squares the
+    # conditioning, so use the total-least-squares plane from the PCA we
+    # already have: unit normal = smallest eigenvector, offset d = -n.mean,
+    # sign chosen so d > 0 to match the reference's d = 1/|n_raw| > 0.
+    normal = evecs[:, :, 0]
+    d = -jnp.einsum("mi,mi->m", normal, mean)
+    flip_d = d < 0
+    normal = jnp.where(flip_d[:, None], -normal, normal)
+    d = jnp.abs(d)
+    numeric_ok = jnp.all(jnp.isfinite(normal), axis=-1) & jnp.isfinite(d)
 
     # residual gate: every neighbor within planeRes/2 of the plane
     pt_dist = jnp.abs(jnp.einsum("mki,mi->mk", neigh, normal) + d[:, None])
