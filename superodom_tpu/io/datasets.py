@@ -104,11 +104,23 @@ class SimDataset(NamedTuple):
     times: np.ndarray  # [n_scans]
 
 
-def circle_trajectory(n_scans, radius=6.0, scan_period=0.1, z_amp=0.3, laps=1.0):
+def circle_trajectory(
+    n_scans, radius=6.0, scan_period=0.1, z_amp=0.3, laps=1.0, static_scans=0
+):
     """Closed-loop circular trajectory with heading tangent to the path —
-    returns to origin, matching the benchmark harness's pass criterion."""
+    returns to origin, matching the benchmark harness's pass criterion.
+
+    ``static_scans`` poses at the origin precede the motion (the reference's
+    IMU initialization assumes ~1 s of rest, imu_data.h:71-160)."""
     times = np.arange(n_scans) * scan_period
-    ang = np.linspace(0, 2 * np.pi * laps, n_scans, endpoint=True)
+    static_scans = min(static_scans, max(n_scans - 2, 0))
+    n_move = n_scans - static_scans
+    ang = np.concatenate(
+        [
+            np.zeros(static_scans),
+            np.linspace(0, 2 * np.pi * laps, n_move, endpoint=True),
+        ]
+    )
     pos = np.stack(
         [
             radius * np.sin(ang),
@@ -138,10 +150,13 @@ def make_dataset(
     gravity: float = 9.80511,
     radius: float = 6.0,
     distortion: bool = True,
+    static_scans: int = 15,
 ) -> SimDataset:
     """Simulate a full LiDAR+IMU sequence along a closed circular loop."""
     world = world or BoxWorld()
-    times, q_traj, p_traj = circle_trajectory(n_scans, radius, scan_period)
+    times, q_traj, p_traj = circle_trajectory(
+        n_scans, radius, scan_period, static_scans=static_scans
+    )
 
     # dense pose sampling for IMU + per-point interpolation
     dense_dt = 1.0 / imu_rate
