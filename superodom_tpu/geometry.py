@@ -183,7 +183,9 @@ def so3_exp(omega: jnp.ndarray) -> jnp.ndarray:
     quaternion branch of getTransformFromSe3 (lidarOptimization.cpp:112-135).
     """
     theta_sq = jnp.sum(omega * omega, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
+    # +tiny keeps the sqrt differentiable at 0 (d sqrt/dx at 0 is inf and
+    # poisons autodiff tangents even through selected-away branches)
+    theta = jnp.sqrt(theta_sq + 1e-24)
     half = 0.5 * theta
     small = theta_sq < 1e-10
     # sin(theta/2)/theta with Taylor fallback 0.5 - theta^2/48
@@ -201,7 +203,7 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     q = quat_normalize(q)
     w = q[..., 0:1]
     v = q[..., 1:4]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)
     angle = 2.0 * jnp.arctan2(n, w)
     small = n < 1e-8
     scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), angle / jnp.where(small, 1.0, n))
@@ -218,7 +220,7 @@ def se3_exp(xi: jnp.ndarray):
     omega = xi[..., 3:6]
     q = so3_exp(omega)
     theta_sq = jnp.sum(omega * omega, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
+    theta = jnp.sqrt(theta_sq + 1e-24)
     small = theta_sq < 1e-10
     Om = skew(omega)
     # Om^2 = w w^T - theta^2 I in closed form (full-precision; a matmul here

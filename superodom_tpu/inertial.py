@@ -100,6 +100,10 @@ class Preintegrated(NamedTuple):
     J_v_bg: jnp.ndarray  # f32[3,3]
     J_p_ba: jnp.ndarray  # f32[3,3]
     J_p_bg: jnp.ndarray  # f32[3,3]
+    # biases the interval was integrated at — first-order corrections in the
+    # IMU factor are relative to THESE, not to the current estimate
+    ref_ba: jnp.ndarray  # f32[3]
+    ref_bg: jnp.ndarray  # f32[3]
 
 
 def _preintegrate_raw(t, acc, gyr, mask, ba, bg, dtype):
@@ -163,6 +167,8 @@ def preintegrate(imu: ImuWindow, ba: jnp.ndarray, bg: jnp.ndarray) -> Preintegra
         J_v_bg=J[3:6, 3:6],
         J_p_ba=J[6:9, 0:3],
         J_p_bg=J[6:9, 3:6],
+        ref_ba=ba,
+        ref_bg=bg,
     )
 
 
@@ -194,6 +200,8 @@ def _stack_preint(w: int, dtype=jnp.float32) -> Preintegrated:
         J_v_bg=z33,
         J_p_ba=z33,
         J_p_bg=z33,
+        ref_ba=z3,
+        ref_bg=z3,
     )
 
 
@@ -214,11 +222,12 @@ def smoother_init(cfg: ImuConfig, dtype=jnp.float32) -> SmootherState:
 
 
 def _imu_residuals(q_i, p_i, v_i, ba_i, bg_i, q_j, p_j, v_j, pre: Preintegrated,
-                   gravity_w, ref_ba, ref_bg):
+                   gravity_w):
     """Forster-style preintegration residuals with first-order bias
-    correction (the role of gtsam::ImuFactor)."""
-    dba = ba_i - ref_ba
-    dbg = bg_i - ref_bg
+    correction relative to the interval's own integration bias (the role of
+    gtsam::ImuFactor)."""
+    dba = ba_i - pre.ref_ba
+    dbg = bg_i - pre.ref_bg
     dq_corr = quat_mul(pre.dq, so3_exp(pre.J_q_bg @ dbg))
     dv_corr = pre.dv + pre.J_v_ba @ dba + pre.J_v_bg @ dbg
     dp_corr = pre.dp + pre.J_p_ba @ dba + pre.J_p_bg @ dbg
@@ -293,8 +302,12 @@ def smoother_update(
     # drop priors for invalid lanes
     prior_w = st.valid.astype(dtype) / cfg.lidar_correction_noise
 
-    sig_vq = 1.0 / (cfg.gyr_noise * 60.0)
-    sig_vv = 1.0 / (cfg.acc_noise * 60.0)
+    # IMU-factor weights from the preintegrated white-noise scale over one
+    # interval (the role of GTSAM's propagated preintMeasCov): sigma ~
+    # noise_density * sqrt(dt)
+    dt_ref = jnp.maximum(st.preint.dt[-1], 1e-2)
+    sig_vq = 1.0 / (cfg.gyr_noise * jnp.sqrt(dt_ref) + 1e-6)
+    sig_vv = 1.0 / (cfg.acc_noise * jnp.sqrt(dt_ref) + 1e-6)
     w_bias_a = st.valid.astype(dtype) / jnp.maximum(
         cfg.acc_bias_noise * jnp.sqrt(jnp.maximum(st.preint.dt, 1e-3)), 1e-9
     )
@@ -302,7 +315,6 @@ def smoother_update(
         cfg.gyr_bias_noise * jnp.sqrt(jnp.maximum(st.preint.dt, 1e-3)), 1e-9
     )
 
-    ref_ba, ref_bg = st.ba[-1], st.bg[-1]
     pair_valid = (st.valid[:-1] & st.valid[1:]).astype(dtype)
 
     def gn_iter(carry, _):
@@ -318,16 +330,29 @@ def smoother_update(
             return _window_residuals(
                 q, p, v, ba, bg, st, meas_q, meas_p, prior_w,
                 sig_vq, sig_vv, w_bias_a, w_bias_g, pair_valid,
-                gravity_w, ref_ba, ref_bg, W,
+                gravity_w, W,
             )
 
         delta0 = jnp.zeros((W * 15,), dtype)
         r0 = res_at(delta0)
         J = jax.jacfwd(res_at)(delta0)
-        H = J.T @ J + 1e-6 * jnp.eye(W * 15, dtype=dtype)
+        H = J.T @ J
         g = J.T @ r0
-        delta = -jnp.linalg.solve(H, g).reshape(W, 15)
+        # Jacobi preconditioning: the bias random-walk weights
+        # (1/acc_w ~ 1e4, squared in H) give H a ~1e8 condition number,
+        # which an f32 solve cannot survive; rescale to unit diagonal.
+        d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-8))
+        # damping at the f32 precision floor: the bias random walk is ~1e5x
+        # stiffer than the IMU factors and heavier damping freezes the
+        # common-mode bias direction entirely
+        Hs = H * d[:, None] * d[None, :] + 1e-7 * jnp.eye(W * 15, dtype=dtype)
+        delta = -(d * jnp.linalg.solve(Hs, d * g)).reshape(W, 15)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        # trust region: bound each sub-block's per-iteration step
+        caps = jnp.asarray(
+            [0.5] * 3 + [2.0] * 3 + [5.0] * 3 + [0.2] * 3 + [0.1] * 3, dtype
+        )
+        delta = jnp.clip(delta, -caps, caps)
         out = (
             quat_normalize(quat_mul(q_c, so3_exp(delta[:, 0:3]))),
             p_c + delta[:, 3:6],
@@ -371,7 +396,7 @@ def smoother_update(
 
 def _window_residuals(q, p, v, ba, bg, st, meas_q, meas_p, prior_w,
                       sig_vq, sig_vv, w_bias_a, w_bias_g, pair_valid,
-                      gravity_w, ref_ba, ref_bg, W):
+                      gravity_w, W):
     res = [
         (jax.vmap(lambda a, b: so3_log(quat_mul(quat_conj(b), a)))(q, meas_q)
          * prior_w[:, None]).reshape(-1),
@@ -383,7 +408,7 @@ def _window_residuals(q, p, v, ba, bg, st, meas_q, meas_p, prior_w,
         r_q, r_v, r_p = _imu_residuals(
             q[i], p[i], v[i], ba[i], bg[i],
             q[i + 1], p[i + 1], v[i + 1], pre_i,
-            gravity_w, ref_ba, ref_bg,
+            gravity_w,
         )
         w = pair_valid[i]
         return jnp.concatenate([r_q * sig_vq * w, r_v * sig_vv * w, r_p * sig_vv * w])

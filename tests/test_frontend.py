@@ -1,0 +1,132 @@
+import numpy as np
+import jax.numpy as jnp
+
+from superodom_tpu import frontend as fe
+from superodom_tpu import geometry as geo
+
+
+def test_propagate_orientation_constant_rate():
+    n = 20
+    t = np.arange(n, dtype=np.float32) * 0.01
+    gyr = np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
+    qs = fe.propagate_orientation(
+        geo.quat_identity(), jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        jnp.asarray(t), jnp.asarray(gyr), jnp.ones(n, bool), -0.01)
+    # after the last sample: yaw = t_last + 0.01 (from the t0=-0.01 bootstrap)
+    yaw = np.asarray(geo.so3_log(qs[-1]))[2]
+    np.testing.assert_allclose(yaw, t[-1] + 0.01, atol=1e-3)
+
+
+def test_undistort_pure_rotation():
+    """Points sampled during a known rotation must map back to the
+    scan-start frame (reference removePointDistortion semantics)."""
+    m = 32
+    w = 1.0  # rad/s about z
+    t_imu = np.arange(m, dtype=np.float32) * 0.01
+    qs = np.stack([np.asarray(geo.so3_exp(jnp.asarray([0, 0, w * t], jnp.float32)))
+                   for t in t_imu])
+    imu = fe.ImuWindow(
+        t=jnp.asarray(t_imu),
+        acc=jnp.zeros((m, 3), jnp.float32),
+        gyr=jnp.tile(jnp.asarray([0, 0, w], jnp.float32)[None], (m, 1)),
+        q=jnp.asarray(qs, jnp.float32),
+        mask=jnp.ones((m,), bool),
+    )
+    # world points on a wall; sensor rotates; body-frame measurement of a
+    # static point p_w at time t is R(t)^-1 p_w
+    p_w = np.array([[2.0, 0.5, 0.3], [1.0, -1.0, 0.2], [0.5, 2.0, -0.4]],
+                   np.float32)
+    t_rel = np.array([0.0, 0.1, 0.25], np.float32)
+    body = np.stack([
+        np.asarray(geo.quat_rotate(geo.quat_conj(jnp.asarray(
+            geo.so3_exp(jnp.asarray([0, 0, w * t], jnp.float32)))),
+            jnp.asarray(p)))
+        for p, t in zip(p_w, t_rel)
+    ])
+    scan = fe.Scan(
+        xyz=jnp.asarray(body),
+        t_rel=jnp.asarray(t_rel),
+        mask=jnp.ones((3,), bool),
+        t_start=jnp.asarray(0.0, jnp.float32),
+    )
+    out, q_init, _ = fe.undistort_scan(
+        scan, imu, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+    # scan-start frame == world frame here (identity at t=0)
+    np.testing.assert_allclose(np.asarray(out), p_w, atol=5e-3)
+
+
+def test_undistort_with_extrinsic():
+    """With a nontrivial imu->lidar extrinsic the conjugation
+    T_l_i * T_rel * T_i_l must be applied (featureExtraction.cpp:303-305)."""
+    m = 16
+    w = 0.8
+    t_imu = np.arange(m, dtype=np.float32) * 0.02
+    qs = np.stack([np.asarray(geo.so3_exp(jnp.asarray([0, 0, w * t], jnp.float32)))
+                   for t in t_imu])
+    imu = fe.ImuWindow(
+        t=jnp.asarray(t_imu), acc=jnp.zeros((m, 3), jnp.float32),
+        gyr=jnp.zeros((m, 3), jnp.float32), q=jnp.asarray(qs, jnp.float32),
+        mask=jnp.ones((m,), bool))
+    # lidar rotated 90 deg about z relative to imu
+    Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    t_il = np.array([0.1, 0.0, 0.05], np.float32)
+    # a static world point seen at t: p_l(t) = T_wl(t)^-1 p_w where
+    # T_wl = T_wi(t) * T_il
+    p_w = np.array([1.5, 0.7, 0.2], np.float32)
+    t_rel = np.array([0.2], np.float32)
+    q_wi = np.asarray(geo.so3_exp(jnp.asarray([0, 0, w * 0.2], jnp.float32)))
+    R_wi = np.asarray(geo.quat_to_matrix(jnp.asarray(q_wi)))
+    R_wl = R_wi @ Rz
+    t_wl = R_wi @ t_il
+    body = (R_wl.T @ (p_w - t_wl))[None]
+    scan = fe.Scan(
+        xyz=jnp.asarray(body), t_rel=jnp.asarray(t_rel),
+        mask=jnp.ones((1,), bool), t_start=jnp.asarray(0.0, jnp.float32))
+    out, q_init, t_init = fe.undistort_scan(
+        scan, imu, jnp.asarray(Rz), jnp.asarray(t_il))
+    # expected: point in the scan-START lidar frame: T_wl(0)^-1 p_w
+    T0_R = np.eye(3, dtype=np.float32) @ Rz
+    T0_t = t_il
+    expected = T0_R.T @ (p_w - T0_t)
+    np.testing.assert_allclose(np.asarray(out)[0], expected, atol=5e-3)
+
+
+def test_uniform_feature_extraction_gates():
+    xyz = np.array(
+        [
+            [5.0, 0.0, 0.0],   # lane 0: not on stride
+            [5.0, 1.0, 0.0],   # lane 1: kept
+            [5.0, 1.0, 0.0],   # lane 2: not on stride
+            [5.0, 1.0, 0.0],   # lane 3: duplicate of previous
+            [0.05, 0.0, 0.0],  # lane 4: not on stride
+            [0.05, 0.01, 0.0], # lane 5: inside blind radius
+            [4.0, 2.0, 1.0],   # lane 6: not on stride
+            [4.0, 2.0, 1.1],   # lane 7: kept
+        ],
+        np.float32,
+    )
+    mask = fe.uniform_feature_extraction(
+        jnp.asarray(xyz), jnp.ones(8, bool), stride=2, min_range=0.2,
+        max_range=100.0)
+    np.testing.assert_array_equal(np.where(np.asarray(mask))[0], [1, 7])
+
+
+def test_select_features_even_decimation():
+    n = 100
+    xyz = np.arange(n, dtype=np.float32)[:, None] * np.ones(3, np.float32)
+    mask = np.ones(n, bool)
+    out, out_mask = fe.select_features(jnp.asarray(xyz), jnp.asarray(mask), 10)
+    assert int(out_mask.sum()) == 10
+    picked = np.sort(np.asarray(out)[np.asarray(out_mask)][:, 0])
+    # evenly spread over the input, not the first 10
+    assert picked[-1] > 80
+    gaps = np.diff(picked)
+    assert gaps.min() >= 8 and gaps.max() <= 12
+
+
+def test_select_features_fewer_than_capacity():
+    xyz = np.ones((20, 3), np.float32)
+    mask = np.zeros(20, bool)
+    mask[3:7] = True
+    out, out_mask = fe.select_features(jnp.asarray(xyz), jnp.asarray(mask), 10)
+    assert int(out_mask.sum()) == 4

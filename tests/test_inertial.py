@@ -1,0 +1,165 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from superodom_tpu.config import ImuConfig
+from superodom_tpu.frontend import ImuWindow
+from superodom_tpu import inertial as iner
+from superodom_tpu import geometry as geo
+
+
+CFG = ImuConfig(max_imu_per_scan=48, window_size=6, smoother_gn_iters=3)
+G = CFG.gravity
+
+
+def make_window(t, acc, gyr, m=48):
+    n = len(t)
+    pad = m - n
+    return ImuWindow(
+        t=jnp.asarray(np.pad(t, (0, pad)), jnp.float32),
+        acc=jnp.asarray(np.pad(acc, ((0, pad), (0, 0))), jnp.float32),
+        gyr=jnp.asarray(np.pad(gyr, ((0, pad), (0, 0))), jnp.float32),
+        q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32)[None], (m, 1)),
+        mask=jnp.asarray(np.arange(m) < n),
+    )
+
+
+def test_static_init(rng):
+    n = 200
+    acc = np.tile([0.1, -0.05, 9.79], (n, 1)) + rng.normal(0, 0.01, (n, 3))
+    gyr = np.tile([0.002, -0.001, 0.003], (n, 1)) + rng.normal(0, 1e-3, (n, 3))
+    init = iner.imu_static_init(
+        jnp.asarray(acc, jnp.float32), jnp.asarray(gyr, jnp.float32),
+        jnp.ones(n, bool), jnp.eye(3, dtype=jnp.float32))
+    assert bool(init.ok)
+    np.testing.assert_allclose(np.asarray(init.gyr_bias),
+                               [0.002, -0.001, 0.003], atol=5e-4)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(init.gravity)), 9.81,
+                               atol=1e-3)
+    # R_gravity^T aligns measured acceleration with +z
+    aligned = np.asarray(init.R_gravity).T @ np.asarray(init.acc_mean)
+    np.testing.assert_allclose(aligned[:2], 0.0, atol=2e-3)
+
+
+def test_preintegrate_static():
+    """Static IMU measuring gravity: dv = g_imu * dt, dp = 0.5 g_imu dt^2,
+    dq = identity."""
+    n = 21
+    t = np.arange(n) * 0.005
+    acc = np.tile([0.0, 0.0, G], (n, 1))
+    gyr = np.zeros((n, 3))
+    pre = iner.preintegrate(make_window(t, acc, gyr), jnp.zeros(3), jnp.zeros(3))
+    dt = float(pre.dt)
+    np.testing.assert_allclose(dt, 0.105, atol=1e-3)  # first sample adds 1/200
+    np.testing.assert_allclose(np.asarray(pre.dq), [1, 0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pre.dv), [0, 0, G * dt], rtol=1e-3)
+    # dp ~ 0.5 g dt^2 (first-sample bootstrap makes it approximate)
+    assert abs(float(pre.dp[2]) - 0.5 * G * dt**2) < 0.01
+
+
+def test_preintegrate_rotation():
+    """Constant yaw rate: dq must equal exp(w * dt)."""
+    n = 41
+    t = np.arange(n) * 0.005
+    w = 0.5
+    acc = np.tile([0.0, 0.0, G], (n, 1))
+    gyr = np.tile([0.0, 0.0, w], (n, 1))
+    pre = iner.preintegrate(make_window(t, acc, gyr), jnp.zeros(3), jnp.zeros(3))
+    ang = np.asarray(geo.so3_log(pre.dq))
+    np.testing.assert_allclose(ang, [0, 0, w * float(pre.dt)], atol=2e-3)
+
+
+def test_preintegrate_bias_jacobian():
+    """Autodiff bias Jacobians must predict the effect of a small bias
+    change on the preintegrated quantities."""
+    n = 30
+    t = np.arange(n) * 0.005
+    acc = np.tile([0.3, -0.2, G], (n, 1))
+    gyr = np.tile([0.1, 0.05, -0.2], (n, 1))
+    win = make_window(t, acc, gyr)
+    pre0 = iner.preintegrate(win, jnp.zeros(3), jnp.zeros(3))
+    db = jnp.asarray([0.01, -0.02, 0.015], jnp.float32)
+    pre1 = iner.preintegrate(win, jnp.zeros(3), db * 0)  # same
+    # perturb gyro bias
+    pre_g = iner.preintegrate(win, jnp.zeros(3), db)
+    pred_dlog = np.asarray(pre0.J_q_bg) @ np.asarray(db)
+    actual_dlog = np.asarray(geo.so3_log(pre_g.dq)) - np.asarray(
+        geo.so3_log(pre0.dq))
+    np.testing.assert_allclose(pred_dlog, actual_dlog, atol=2e-4)
+    # perturb acc bias
+    pre_a = iner.preintegrate(win, db, jnp.zeros(3))
+    pred_dv = np.asarray(pre0.J_v_ba) @ np.asarray(db)
+    np.testing.assert_allclose(pred_dv, np.asarray(pre_a.dv - pre0.dv),
+                               atol=2e-4)
+
+
+def _run_smoother(poses, times, windows, cfg=CFG):
+    st = iner.smoother_init(cfg)
+    outs = []
+    for pose, t, win in zip(poses, times, windows):
+        st, sm = iner.smoother_update(st, cfg, pose, t, win)
+        outs.append(sm)
+    return st, outs
+
+
+def test_smoother_recovers_gyro_bias():
+    """Stationary robot with a gyro-bias-corrupted IMU and perfect lidar
+    poses: the window smoother must estimate the bias (the role of GTSAM's
+    bias states, imuPreintegration.cpp:279-337)."""
+    bias_g = np.array([0.02, -0.01, 0.03], np.float32)
+    n_keys = 10
+    windows, poses, times = [], [], []
+    for k in range(n_keys):
+        t = 0.1 * k + np.arange(21) * 0.005
+        acc = np.tile([0.0, 0.0, G], (21, 1))
+        gyr = np.tile(bias_g, (21, 1))
+        windows.append(make_window(t, acc, gyr))
+        poses.append(geo.Pose.identity())
+        times.append(0.1 * (k + 1))
+    st, outs = _run_smoother(poses, times, windows)
+    assert not bool(st.failed)
+    np.testing.assert_allclose(np.asarray(st.bg[-1]), bias_g, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st.v[-1]), 0.0, atol=0.05)
+    # smoothed pose sticks to the (perfect) lidar poses
+    np.testing.assert_allclose(np.asarray(outs[-1].t), 0.0, atol=0.02)
+
+
+def test_smoother_failure_detection():
+    """Inconsistent lidar poses implying >30 m/s velocity must trip the
+    failure gate (imuPreintegration.cpp:398-417)."""
+    windows, poses, times = [], [], []
+    for k in range(6):
+        t = 0.1 * k + np.arange(21) * 0.005
+        acc = np.tile([0.0, 0.0, G], (21, 1))
+        gyr = np.zeros((21, 3))
+        windows.append(make_window(t, acc, gyr))
+        # teleporting poses: 10 m per 0.1 s = 100 m/s
+        poses.append(geo.Pose(geo.quat_identity(),
+                              jnp.asarray([10.0 * k, 0.0, 0.0], jnp.float32)))
+        times.append(0.1 * (k + 1))
+    st, _ = _run_smoother(poses, times, windows)
+    assert bool(st.failed)
+    # reset semantics: velocity and biases zeroed
+    np.testing.assert_allclose(np.asarray(st.v[-1]), 0.0, atol=1e-5)
+    assert int(st.key) == 0
+
+
+def test_high_rate_propagation():
+    """Forward propagation from the latest state at IMU rate (the ~200 Hz
+    output path, imuPreintegration.cpp:544-570)."""
+    cfg = CFG
+    st = iner.smoother_init(cfg)
+    # seed one keyframe at origin
+    t0 = np.arange(21) * 0.005
+    win0 = make_window(t0, np.tile([0, 0, G], (21, 1)), np.zeros((21, 3)))
+    st, _ = iner.smoother_update(st, cfg, geo.Pose.identity(), 0.1, win0)
+    # constant body-x acceleration of 1 m/s^2
+    t1 = 0.1 + np.arange(41) * 0.005
+    win1 = make_window(t1, np.tile([1.0, 0, G], (41, 1)), np.zeros((41, 3)))
+    poses, vels, mask = iner.propagate_high_rate(st, cfg, win1)
+    ts = np.asarray(win1.t)[np.asarray(mask)]
+    xs = np.asarray(poses.t)[np.asarray(mask), 0]
+    dt_total = ts[-1] - ts[0] + 1 / 200.0
+    assert abs(xs[-1] - 0.5 * dt_total**2) < 5e-3
+    vx = np.asarray(vels)[np.asarray(mask), 0]
+    assert abs(vx[-1] - dt_total) < 5e-3
