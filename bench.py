@@ -49,7 +49,7 @@ def main():
     )
 
     runner = OdometryRunner(cfg)
-    res = runner.run_dataset(ds, use_imu=True)
+    res = runner.run_dataset_chunked(ds, use_imu=True, chunk=10)
 
     value = res.scans_per_sec
     baseline = 200.0  # north-star target (BASELINE.md)

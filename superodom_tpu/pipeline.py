@@ -429,3 +429,23 @@ def make_step_fn(cfg: PipelineConfig):
         return step(cfg, state, scan, imu, imu_available)
 
     return jax.jit(_step)
+
+
+def make_chunked_step_fn(cfg: PipelineConfig):
+    """jit-compiled replay of a CHUNK of scans via lax.scan.
+
+    One device dispatch processes many scans back to back — this amortizes
+    host->device transfer and dispatch latency, which dominates single-scan
+    stepping on remote-attached accelerators.  Inputs are Scan/ImuWindow
+    pytrees with a leading chunk dimension; returns (final state, stacked
+    StepOutputs)."""
+
+    def _chunk(state, scans, imus, avails):
+        def body(st, inp):
+            scan, imu, avail = inp
+            st, out = step(cfg, st, scan, imu, avail)
+            return st, out
+
+        return jax.lax.scan(body, state, (scans, imus, avails))
+
+    return jax.jit(_chunk)

@@ -23,8 +23,34 @@ import numpy as np
 
 from superodom_tpu.config import PipelineConfig
 from superodom_tpu.frontend import ImuWindow, Scan
-from superodom_tpu.pipeline import OdomState, StepOutput, init_state, make_step_fn
-from superodom_tpu.geometry import quat_identity, quat_normalize, quat_mul, so3_exp
+from superodom_tpu.pipeline import (
+    OdomState,
+    StepOutput,
+    init_state,
+    make_chunked_step_fn,
+    make_step_fn,
+)
+
+def _np_quat_mul(q, p):
+    w1, x1, y1, z1 = q
+    w2, x2, y2, z2 = p
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], np.float32)
+
+
+def _np_so3_exp(w):
+    theta = float(np.linalg.norm(w))
+    if theta < 1e-8:
+        q = np.array([1.0, 0.5 * w[0], 0.5 * w[1], 0.5 * w[2]], np.float32)
+    else:
+        s = np.sin(theta / 2.0) / theta
+        q = np.array([np.cos(theta / 2.0), s * w[0], s * w[1], s * w[2]],
+                     np.float32)
+    return q / np.linalg.norm(q)
 
 
 @dataclasses.dataclass
@@ -49,10 +75,12 @@ class OdometryRunner:
         self.cfg = cfg
         self.dtype = dtype
         self.step_fn = make_step_fn(cfg)
+        self._chunk_fn = None  # built lazily by run_dataset_chunked
         self.state = init_state(cfg, dtype)
         self._imu_t: list = []
         self._imu_acc: list = []
         self._imu_gyr: list = []
+        self._imu_q: list = []
         self._q_last = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
         self._gyr_last = np.zeros(3, np.float32)
         self._t_last = -1.0
@@ -80,21 +108,19 @@ class OdometryRunner:
         if dt < 0.001 or dt > 0.5:
             dt = 0.005
         gyr_c = gyr - self._gyr_bias
-        dq = np.asarray(
-            so3_exp(jnp.asarray(dt * 0.5 * (gyr_c + self._gyr_last), jnp.float32))
-        )
-        self._q_last = np.asarray(
-            quat_normalize(quat_mul(jnp.asarray(self._q_last), jnp.asarray(dq)))
-        )
+        dq = _np_so3_exp(dt * 0.5 * (gyr_c + self._gyr_last))
+        q = _np_quat_mul(self._q_last, dq)
+        self._q_last = q / np.linalg.norm(q)
         self._gyr_last = gyr_c.astype(np.float32)
         self._t_last = t
         self._imu_t.append(t)
         self._imu_acc.append(acc.astype(np.float32))
         self._imu_gyr.append(gyr_c.astype(np.float32))
+        self._imu_q.append(self._q_last.copy())
         # bound the buffer (reference imu ring buffers hold 1000-2000)
-        if len(self._imu_t) > 4096:
-            for buf in (self._imu_t, self._imu_acc, self._imu_gyr):
-                del buf[:2048]
+        if len(self._imu_t) > 1 << 20:
+            for buf in (self._imu_t, self._imu_acc, self._imu_gyr, self._imu_q):
+                del buf[: 1 << 19]
 
     def _imu_window(self, t0: float, t1: float) -> tuple[ImuWindow, bool]:
         m = self.cfg.imu.max_imu_per_scan
@@ -114,18 +140,10 @@ class OdometryRunner:
         acc = np.pad(np.asarray(self._imu_acc)[idx], ((0, pad), (0, 0)))
         gyr = np.pad(np.asarray(self._imu_gyr)[idx], ((0, pad), (0, 0)))
         mask = np.arange(m) < n
-        # orientations: integrate within the window starting from continuity
-        # state — recompute here to keep windows self-consistent
+        # orientations: the per-sample integrated attitude recorded at ingest
+        # time (featureExtraction keeps exactly this in its IMU buffer)
         qs = np.zeros((m, 4), np.float32)
-        q = self._window_q0(ts[idx[0]])
-        g_prev = gyr[0]
-        t_prev = t_arr[0]
-        for i in range(n):
-            dt = max(min(t_arr[i] - t_prev, 0.5), 0.0)
-            dq = np.asarray(so3_exp(jnp.asarray(dt * 0.5 * (gyr[i] + g_prev))))
-            q = np.asarray(quat_normalize(quat_mul(jnp.asarray(q), jnp.asarray(dq))))
-            qs[i] = q
-            g_prev, t_prev = gyr[i], t_arr[i]
+        qs[:n] = np.asarray(self._imu_q)[idx]
         win = ImuWindow(
             t=jnp.asarray(t_arr, self.dtype),
             acc=jnp.asarray(acc, self.dtype),
@@ -134,12 +152,6 @@ class OdometryRunner:
             mask=jnp.asarray(mask),
         )
         return win, True
-
-    def _window_q0(self, t_first: float) -> np.ndarray:
-        """Orientation at the first window sample: the global integration
-        state rewound is approximated by the current accumulated q (windows
-        are short; continuity error is absorbed by the relative use)."""
-        return self._q_last.copy()
 
     def _empty_window(self) -> ImuWindow:
         m = self.cfg.imu.max_imu_per_scan
@@ -228,4 +240,86 @@ class OdometryRunner:
             stats=stats,
             wall_time_s=wall,
             scans_per_sec=len(dataset.scans) / wall,
+        )
+
+    def run_dataset_chunked(self, dataset, use_imu: bool = True,
+                            chunk: int = 16) -> RunResult:
+        """Replay with lax.scan-batched dispatch: `chunk` scans per device
+        call.  Requires the dataset offline (all IMU available up front) —
+        the high-throughput replay mode (BASELINE.md north star).
+
+        The timed region covers device compute + host windowing, matching
+        the reference's bag-replay benchmark semantics."""
+        if self._chunk_fn is None:
+            self._chunk_fn = make_chunked_step_fn(self.cfg)
+
+        # ingest all IMU first (offline replay)
+        imu = dataset.imu
+        if use_imu:
+            for i in range(len(imu.t)):
+                self.add_imu(imu.t[i], imu.acc[i], imu.gyr[i])
+
+        # prebuild stacked inputs
+        def build(s):
+            scan = self.make_scan(s.t_start, s.xyz_body, s.t_rel)
+            t_end = s.t_start + (float(s.t_rel[-1]) if len(s.t_rel) else 0.0)
+            if use_imu:
+                win, ok = self._imu_window(s.t_start, t_end)
+            else:
+                win, ok = self._empty_window(), False
+            return scan, win, jnp.asarray(ok)
+
+        built = [build(s) for s in dataset.scans]
+        n = len(built)
+        n_chunks = n // chunk
+
+        stack = lambda items: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *items)
+
+        poses_q, poses_t, smoothed_t, stats = [], [], [], []
+
+        # warmup compile on the first chunk shape
+        first_scans = stack([b[0] for b in built[:chunk]])
+        first_imus = stack([b[1] for b in built[:chunk]])
+        first_avails = jnp.stack([b[2] for b in built[:chunk]])
+        _ = self._chunk_fn(self.state, first_scans, first_imus, first_avails)
+        jax.block_until_ready(_[0])
+
+        t_begin = time.perf_counter()
+        for c in range(n_chunks):
+            batch = built[c * chunk:(c + 1) * chunk]
+            scans = stack([b[0] for b in batch])
+            imus = stack([b[1] for b in batch])
+            avails = jnp.stack([b[2] for b in batch])
+            self.state, outs = self._chunk_fn(self.state, scans, imus, avails)
+            poses_q.append(np.asarray(outs.pose.q))
+            poses_t.append(np.asarray(outs.pose.t))
+            smoothed_t.append(np.asarray(outs.smoothed_pose.t))
+            for k in range(chunk):
+                stats.append({
+                    "i": c * chunk + k,
+                    "surf_stack": int(outs.surf_stack_num[k]),
+                    "surf_map": int(outs.surf_map_num[k]),
+                    "pred_source": int(outs.prediction_source[k]),
+                    "n_iterations": int(outs.icp.n_iterations[k]),
+                    "degenerate": bool(outs.icp.degenerate[k]),
+                    "imu_healthy": bool(outs.imu_healthy[k]),
+                })
+        # trailing remainder: per-scan path
+        for b in built[n_chunks * chunk:]:
+            self.state, out = self.step_fn(self.state, b[0], b[1], b[2])
+            poses_q.append(np.asarray(out.pose.q)[None])
+            poses_t.append(np.asarray(out.pose.t)[None])
+            smoothed_t.append(np.asarray(out.smoothed_pose.t)[None])
+            stats.append({"i": len(stats)})
+        jax.block_until_ready(self.state)
+        wall = time.perf_counter() - t_begin
+
+        return RunResult(
+            poses_q=np.concatenate(poses_q),
+            poses_t=np.concatenate(poses_t),
+            smoothed_t=np.concatenate(smoothed_t),
+            stats=stats,
+            wall_time_s=wall,
+            scans_per_sec=n / wall,
         )
