@@ -197,6 +197,7 @@ def select_features(
     reference's fractional-stride subsampling (LidarSlam.cpp:346-359):
     points are kept at an even rate rather than truncated.
     """
+    n = xyz.shape[0]
     count = jnp.sum(mask.astype(jnp.int32))
     rate = jnp.minimum(
         capacity / jnp.maximum(count.astype(xyz.dtype), 1.0), 1.0
@@ -207,5 +208,10 @@ def select_features(
     # decimation, same effect as the reference's fmod stride test
     sel = mask & (jnp.floor(rank * rate) > jnp.floor((rank - 1.0) * rate))
 
-    _, cmask, cxyz = compact_masked(sel, xyz)
-    return cxyz[:capacity], cmask[:capacity]
+    # compact via top_k (O(N log capacity), cheaper than a full argsort at
+    # OS1 density): key keeps selected lanes in input order
+    lane = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(sel, n - lane, 0)
+    _, idx = jax.lax.top_k(keys, capacity)
+    out_mask = sel[idx]
+    return xyz[idx], out_mask

@@ -90,6 +90,33 @@ def voxel_downsample_centroid(xyz: jnp.ndarray, mask: jnp.ndarray, res):
     return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
 
 
+def voxel_downsample_scatter(xyz: jnp.ndarray, mask: jnp.ndarray, res,
+                             table_bits: int = 0):
+    """O(N) scatter-based voxel thinning: keep (approximately) one point per
+    voxel — the first valid lane to claim the voxel's hash slot wins.
+
+    Unlike :func:`voxel_downsample_centroid` (exact, sort-based, centroid
+    semantics) this costs one scatter + one gather, which matters at
+    OS1-128 density (131k lanes) where two full argsorts dominate the
+    frontend.  Distinct voxels whose hashes collide in the table merge
+    (one survivor): with a 4x-oversized table that thins a few percent
+    extra, well within the adaptive-resolution slack of the pipeline.
+
+    Returns a boolean keep-mask over the input lanes.
+    """
+    n = xyz.shape[0]
+    if table_bits == 0:
+        table_bits = max((n * 4 - 1).bit_length(), 4)
+    T = 1 << table_bits
+    coords = voxel_coords(xyz, res)
+    slot = (hash_coords(coords, 0) & (T - 1)).astype(jnp.int32)
+    slot = jnp.where(mask, slot, T)  # masked lanes dropped (positive OOB)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    claims = jnp.full((T,), jnp.int32(2147483647)).at[slot].min(lane, mode="drop")
+    win = mask & (claims[jnp.minimum(slot, T - 1)] == lane)
+    return win
+
+
 def compact_masked(mask: jnp.ndarray, *arrays):
     """Stable-move valid lanes to the front.
 

@@ -51,7 +51,7 @@ from superodom_tpu.mapstate import (
     evict_far,
     insert,
 )
-from superodom_tpu.ops.voxel import voxel_downsample_centroid
+from superodom_tpu.ops.voxel import voxel_downsample_scatter
 from superodom_tpu.registration import (
     IcpStats,
     PosePrior,
@@ -261,10 +261,15 @@ def step(
 
     rt, average_distance = _adjust_voxel_size(cfg, state.rt, xyz_u, feat_mask)
 
-    ds_xyz, ds_mask = voxel_downsample_centroid(
-        jnp.where(feat_mask[:, None], xyz_u, 1e6), feat_mask, rt.plane_res
+    # scan-stack voxel thinning (the role of downSizeFilterSurf,
+    # laserMapping.cpp:643-645).  Scatter-claim keeps the first point per
+    # voxel instead of PCL's centroid — one O(N) scatter instead of two
+    # full argsorts at 131k lanes; sub-resolution placement differences are
+    # absorbed by the correspondence gates.
+    ds_keep = voxel_downsample_scatter(xyz_u, feat_mask, rt.plane_res)
+    surf_pts, surf_mask = select_features(
+        xyz_u, ds_keep, sensor.max_surface_features
     )
-    surf_pts, surf_mask = select_features(ds_xyz, ds_mask, sensor.max_surface_features)
 
     # slim-release edge clouds are empty (featureExtraction.cpp:429-436);
     # the registration path still supports them for full-capability configs.
