@@ -303,22 +303,34 @@ class OdometryRunner:
         jax.block_until_ready(_[0])
 
         t_begin = time.perf_counter()
+        pending = []
         for c in range(n_chunks):
             self.state, outs = self._chunk_fn(
                 self.state, index(all_scans, c), index(all_imus, c),
                 index(all_avails, c))
-            poses_q.append(np.asarray(outs.pose.q))
-            poses_t.append(np.asarray(outs.pose.t))
-            smoothed_t.append(np.asarray(outs.smoothed_pose.t))
+            # keep device->host reads OUT of the loop: each scalar read is a
+            # full round trip on a remote-attached device
+            pending.append((
+                outs.pose.q, outs.pose.t, outs.smoothed_pose.t,
+                outs.surf_stack_num, outs.surf_map_num,
+                outs.prediction_source, outs.icp.n_iterations,
+                outs.icp.degenerate, outs.imu_healthy,
+            ))
+        jax.block_until_ready(self.state)
+        host = jax.device_get(pending)
+        for c, (pq, pt, st_t, sstack, smap, psrc, nit, deg, healthy) in enumerate(host):
+            poses_q.append(pq)
+            poses_t.append(pt)
+            smoothed_t.append(st_t)
             for k in range(chunk):
                 stats.append({
                     "i": c * chunk + k,
-                    "surf_stack": int(outs.surf_stack_num[k]),
-                    "surf_map": int(outs.surf_map_num[k]),
-                    "pred_source": int(outs.prediction_source[k]),
-                    "n_iterations": int(outs.icp.n_iterations[k]),
-                    "degenerate": bool(outs.icp.degenerate[k]),
-                    "imu_healthy": bool(outs.imu_healthy[k]),
+                    "surf_stack": int(sstack[k]),
+                    "surf_map": int(smap[k]),
+                    "pred_source": int(psrc[k]),
+                    "n_iterations": int(nit[k]),
+                    "degenerate": bool(deg[k]),
+                    "imu_healthy": bool(healthy[k]),
                 })
         # trailing remainder: per-scan path
         for b in built[n_chunks * chunk:]:
