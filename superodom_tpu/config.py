@@ -210,6 +210,11 @@ class PipelineConfig:
     auto_voxel_size: bool = True
     use_imu_roll_pitch: bool = False
     startup_frames: int = 10  # IMU-orientation-only startup (laserMapping.cpp:317)
+    # Curvature edge features: the slim reference ships empty edge clouds
+    # (featureExtraction.cpp:429-436) but registers them fully; enabling this
+    # completes the edge+planar capability (LOAM lineage).
+    use_edge_features: bool = False
+    edge_curvature_threshold: float = 0.2
 
     def default_runtime(self) -> RuntimeParams:
         return RuntimeParams(

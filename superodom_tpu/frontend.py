@@ -29,12 +29,17 @@ from superodom_tpu.ops.voxel import compact_masked, uniform_stride_mask
 
 class Scan(NamedTuple):
     """One LiDAR sweep as fixed-size masked arrays (replaces PCL
-    PointcloudXYZITR, reference sensor_data/pointcloud/point_os.h)."""
+    PointcloudXYZITR, reference sensor_data/pointcloud/point_os.h).
+
+    ``ring`` carries the scan-line id; points are expected ring-major /
+    time-ordered within a ring (the native order of all three supported
+    sensors), which the curvature-based edge extractor relies on."""
 
     xyz: jnp.ndarray  # f32[N,3] sensor frame
     t_rel: jnp.ndarray  # f32[N] per-point time since scan start [s]
     mask: jnp.ndarray  # bool[N]
     t_start: jnp.ndarray  # f32 scalar, scan start time [s]
+    ring: jnp.ndarray  # i32[N] scan line id (zeros when unknown)
 
 
 class ImuWindow(NamedTuple):
@@ -185,6 +190,44 @@ def uniform_feature_extraction(
     in_range = (rng_sq > min_range**2) & (rng_sq < max_range**2)
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     return mask & stride_m & ~dup & in_range & finite
+
+
+def curvature_edge_extraction(
+    xyz: jnp.ndarray,
+    ring: jnp.ndarray,
+    mask: jnp.ndarray,
+    half_window: int = 5,
+    curvature_threshold: float = 0.2,
+    min_range: float = 0.5,
+):
+    """LOAM-style edge (corner) detection: local curvature along each scan
+    line; high-curvature points are edges.
+
+    The slim reference publishes empty edge clouds
+    (featureExtraction.cpp:429-436) while its registration core fully
+    supports them (ComputeLineDistanceParameters); this extractor completes
+    the capability.  c_i = || sum_{|j|<=w, j!=0} (p_{i+j} - p_i) || / (2w |p_i|),
+    computed with shifted arrays and same-ring gating (no per-point loops).
+
+    Returns a boolean edge mask over the input lanes.
+    """
+    n = xyz.shape[0]
+    rng_norm = jnp.linalg.norm(xyz, axis=-1)
+    acc = jnp.zeros_like(xyz)
+    neigh_ok = jnp.ones((n,), bool)
+    for off in range(-half_window, half_window + 1):
+        if off == 0:
+            continue
+        nb = jnp.roll(xyz, -off, axis=0)
+        nb_ring = jnp.roll(ring, -off, axis=0)
+        nb_mask = jnp.roll(mask, -off, axis=0)
+        same = (nb_ring == ring) & nb_mask
+        acc = acc + jnp.where(same[:, None], nb - xyz, 0.0)
+        neigh_ok = neigh_ok & same
+    curv = jnp.linalg.norm(acc, axis=-1) / (
+        2.0 * half_window * jnp.maximum(rng_norm, 1e-6)
+    )
+    return mask & neigh_ok & (curv > curvature_threshold) & (rng_norm > min_range)
 
 
 def select_features(

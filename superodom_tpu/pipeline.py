@@ -21,6 +21,7 @@ from superodom_tpu.config import PipelineConfig, RuntimeParams
 from superodom_tpu.frontend import (
     ImuWindow,
     Scan,
+    curvature_edge_extraction,
     select_features,
     undistort_scan,
     uniform_feature_extraction,
@@ -271,10 +272,20 @@ def step(
         xyz_u, ds_keep, sensor.max_surface_features
     )
 
-    # slim-release edge clouds are empty (featureExtraction.cpp:429-436);
-    # the registration path still supports them for full-capability configs.
-    edge_pts = jnp.zeros((sensor.max_edge_features, 3), dtype)
-    edge_mask = jnp.zeros((sensor.max_edge_features,), bool)
+    if cfg.use_edge_features:
+        em_full = curvature_edge_extraction(
+            xyz_u, scan.ring, scan.mask,
+            curvature_threshold=cfg.edge_curvature_threshold,
+            min_range=sensor.min_range,
+        )
+        em_keep = voxel_downsample_scatter(xyz_u, em_full, rt.line_res)
+        edge_pts, edge_mask = select_features(
+            xyz_u, em_keep, sensor.max_edge_features
+        )
+    else:
+        # slim-release parity: empty edge clouds (featureExtraction.cpp:429)
+        edge_pts = jnp.zeros((sensor.max_edge_features, 3), dtype)
+        edge_mask = jnp.zeros((sensor.max_edge_features,), bool)
 
     # ---------------- prediction ------------------------------------------
     pred_pose, source, use_vio = _select_prediction(

@@ -164,19 +164,24 @@ class OdometryRunner:
         )
 
     # ---------------- scan processing --------------------------------------
-    def make_scan(self, t_start: float, xyz: np.ndarray, t_rel: np.ndarray) -> Scan:
+    def make_scan(self, t_start: float, xyz: np.ndarray, t_rel: np.ndarray,
+                  ring: Optional[np.ndarray] = None) -> Scan:
         n_max = self.cfg.sensor.max_points
         n = min(len(xyz), n_max)
         xyz_arr = np.zeros((n_max, 3), np.float32)
         t_arr = np.zeros((n_max,), np.float32)
+        ring_arr = np.zeros((n_max,), np.int32)
         xyz_arr[:n] = xyz[:n]
         t_arr[:n] = t_rel[:n]
+        if ring is not None:
+            ring_arr[:n] = ring[:n]
         mask = np.arange(n_max) < n
         return Scan(
             xyz=jnp.asarray(xyz_arr, self.dtype),
             t_rel=jnp.asarray(t_arr, self.dtype),
             mask=jnp.asarray(mask),
             t_start=jnp.asarray(t_start, self.dtype),
+            ring=jnp.asarray(ring_arr),
         )
 
     def process_scan(self, t_start, xyz, t_rel) -> StepOutput:

@@ -48,6 +48,7 @@ def test_undistort_pure_rotation():
         t_rel=jnp.asarray(t_rel),
         mask=jnp.ones((3,), bool),
         t_start=jnp.asarray(0.0, jnp.float32),
+        ring=jnp.zeros((3,), jnp.int32),
     )
     out, q_init, _ = fe.undistort_scan(
         scan, imu, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
@@ -81,7 +82,8 @@ def test_undistort_with_extrinsic():
     body = (R_wl.T @ (p_w - t_wl))[None]
     scan = fe.Scan(
         xyz=jnp.asarray(body), t_rel=jnp.asarray(t_rel),
-        mask=jnp.ones((1,), bool), t_start=jnp.asarray(0.0, jnp.float32))
+        mask=jnp.ones((1,), bool), t_start=jnp.asarray(0.0, jnp.float32),
+        ring=jnp.zeros((1,), jnp.int32))
     out, q_init, t_init = fe.undistort_scan(
         scan, imu, jnp.asarray(Rz), jnp.asarray(t_il))
     # expected: point in the scan-START lidar frame: T_wl(0)^-1 p_w
@@ -130,3 +132,24 @@ def test_select_features_fewer_than_capacity():
     mask[3:7] = True
     out, out_mask = fe.select_features(jnp.asarray(xyz), jnp.asarray(mask), 10)
     assert int(out_mask.sum()) == 4
+
+
+def test_curvature_edge_extraction():
+    """A wall with a protruding pole: pole points (sharp depth change along
+    the ring) must be flagged as edges, flat wall interior must not."""
+    n = 64
+    # one ring, points sweep along y at x=5 (flat), except a jump at 30..33
+    y = np.linspace(-3, 3, n).astype(np.float32)
+    x = np.full(n, 5.0, np.float32)
+    x[30:34] = 2.0  # pole closer to the sensor
+    xyz = np.stack([x, y, np.zeros(n, np.float32)], -1)
+    ring = np.zeros(n, np.int32)
+    mask = np.ones(n, bool)
+    em = fe.curvature_edge_extraction(
+        jnp.asarray(xyz), jnp.asarray(ring), jnp.asarray(mask),
+        half_window=3, curvature_threshold=0.05)
+    em = np.asarray(em)
+    # discontinuity neighborhoods flagged
+    assert em[29:35].any()
+    # flat interior not flagged
+    assert not em[10:25].any()
