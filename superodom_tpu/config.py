@@ -110,13 +110,15 @@ class MapConfig:
     open-addressing keeps all shapes static.
     """
 
-    cell_size: float = 1.0  # coarse hash cell edge [m]; must exceed KNN radius
-    table_size: int = 1 << 16  # open-addressing slots (power of two)
-    cell_capacity: int = 32  # stored points per cell
-    n_probes: int = 8  # linear probe attempts on lookup/insert
+    cell_size: float = 2.0  # hash cell edge [m]; KNN support = cell_size/2
+    table_size: int = 1 << 16  # total slots (power of two, = buckets*bucket_size)
+    bucket_size: int = 8  # slots per hash bucket (one row gather per lookup)
+    cell_capacity: int = 64  # stored points per cell
+    n_probes: int = 4  # insert contention rounds within a bucket
     evict_radius: float = 250.0  # drop cells farther than this from the pose
     # The reference keeps 21x21x11 blocks x 50 m => ~500 m extent
-    # (LocalMap.h:131-138); 250 m radius matches its usable neighborhood.
+    # (LocalMap.h:131-138); 250 m radius matches its usable neighborhood and
+    # stays far inside the packed-coordinate wrap period (1024 cells).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -2,38 +2,38 @@
 rolling 21x21x11 grid of 50 m blocks with per-block octrees and PCL voxel
 filtering (reference include/super_odometry/LidarProcess/LocalMap.h).
 
-Design
-------
+Design (v2, tuned for TPU gather behavior)
+------------------------------------------
 The reference recenters a dense block array around the robot (shiftMap,
 LocalMap.h:169-287), voxel-filters each touched block on insertion
-(LocalMap.h:562-567) and answers KNN queries with a per-block octree
-(flann/octree.h).  None of that maps to XLA: block shifting is a giant
-dynamic copy, octree traversal is pointer chasing.
+(LocalMap.h:562-587) and answers KNN queries with a per-block octree
+(flann/octree.h).  None of that maps to XLA.  Here the map is a bucketized
+open-addressing hash table over ~2 m cells:
 
-Instead the map is one open-addressing hash table over *small* cells
-(~1 m, config MapConfig.cell_size) with a fixed per-cell point capacity:
+  keys  int32[NB, B]      packed cell coordinate per slot (-1 = empty)
+  pts   f32  [NB, B, C, 3] stored points (world frame)
+  cnt   int32[NB, B]      valid points per slot
 
-  keys  int32[T, 3]   cell integer coordinates
-  used  bool [T]      slot occupancy
-  pts   f32  [T, C, 3] stored points (world frame)
-  cnt   int32[T]      valid points per cell
-
-* Insertion is a fully vectorized batch op: sort by cell, rank within cell,
-  claim-or-adopt hash slots in a fixed number of probe rounds, distance-gate
-  against existing points (this reproduces the reference's voxel-grid
-  thinning: stored points stay >= resolution apart), then one scatter.
-* KNN gathers the 27 neighboring cells per query and takes top-k by distance
-  — equivalent locality to the reference's per-block search but with a
-  tighter (3 x cell_size)^3 support instead of a whole 50 m block.
-* "Recentering" is just eviction of far cells (absolute integer coordinates
-  never shift), replacing shiftMap.
+* Cell coordinates pack into one int32 (10 bits/axis, wraps at +-512 cells;
+  eviction keeps the live region far inside the wrap period).  A lookup
+  gathers ONE contiguous bucket row [B] and compares packed words — on TPU
+  this is ~8x cheaper than probing 4-element rows 8 times (measured: the
+  probe-style lookup alone cost 7.7 ms for 55k cells on v5e).
+* KNN queries gather the 8 octant-neighbor cells (the 2x2x2 block of cells
+  nearest the query), guaranteeing coverage radius >= cell_size/2; with 2 m
+  cells that exceeds every correspondence gate in the pipeline
+  (sqrt(3*plane_res) <= 1.55 m only in far mode, ~0.77 m nominally).
+* Insertion is a fully vectorized batch op: thin in-batch, sort by cell,
+  rank within cell, claim-or-adopt bucket slots in a few contention rounds,
+  distance-gate against stored points, one flat scatter.
+* "Recentering" is eviction of far cells (no data movement).
 
 All shapes are static; the entire map lives on device as a pytree.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,50 +47,84 @@ from superodom_tpu.ops.voxel import (
 
 _BIG = jnp.float32(1e30)
 _INT_MAX = jnp.int32(2147483647)
+_EMPTY = jnp.int32(-1)
+_COORD_BITS = 10
+_COORD_MASK = (1 << _COORD_BITS) - 1  # 1023
+_COORD_PERIOD = 1 << _COORD_BITS  # 1024 cells before wrap
 
 
 class VoxelHashMap(NamedTuple):
-    keys: jnp.ndarray  # i32[T, 3]
-    used: jnp.ndarray  # bool[T]
-    pts: jnp.ndarray  # f32[T, C, 3]
-    cnt: jnp.ndarray  # i32[T]
+    keys: jnp.ndarray  # i32[NB, B] packed cell keys, -1 empty
+    pts: jnp.ndarray  # f32[NB, B, C, 3]
+    cnt: jnp.ndarray  # i32[NB, B]
 
     @property
-    def table_size(self) -> int:
-        return self.used.shape[0]
+    def n_buckets(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def bucket_size(self) -> int:
+        return self.keys.shape[1]
 
     @property
     def cell_capacity(self) -> int:
-        return self.pts.shape[1]
+        return self.pts.shape[2]
+
+
+def pack_cells(cells: jnp.ndarray) -> jnp.ndarray:
+    """int32 [...,3] cell coords -> packed non-negative int32 [...].
+
+    10 bits per axis, two's-complement wrap at +-512 cells: positions a full
+    wrap period (1024 * cell_size) apart alias, but eviction keeps live
+    cells well inside half a period of the robot."""
+    c = cells & _COORD_MASK
+    return (c[..., 0] | (c[..., 1] << _COORD_BITS) | (c[..., 2] << (2 * _COORD_BITS))).astype(jnp.int32)
+
+
+def unpack_cells(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed key -> int32 [...,3] coords in [-512, 512)."""
+    def ext(v):
+        return jnp.where(v >= _COORD_PERIOD // 2, v - _COORD_PERIOD, v)
+
+    x = ext(packed & _COORD_MASK)
+    y = ext((packed >> _COORD_BITS) & _COORD_MASK)
+    z = ext((packed >> (2 * _COORD_BITS)) & _COORD_MASK)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _bucket_of(packed: jnp.ndarray, nb: int) -> jnp.ndarray:
+    # fmix-style scramble of the packed word, then mask to the bucket count
+    h = packed.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    return (h & jnp.uint32(nb - 1)).astype(jnp.int32)
 
 
 def empty_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelHashMap:
-    T, C = cfg.table_size, cfg.cell_capacity
+    nb = cfg.table_size // cfg.bucket_size
     return VoxelHashMap(
-        keys=jnp.zeros((T, 3), dtype=jnp.int32),
-        used=jnp.zeros((T,), dtype=bool),
-        pts=jnp.zeros((T, C, 3), dtype=dtype),
-        cnt=jnp.zeros((T,), dtype=jnp.int32),
+        keys=jnp.full((nb, cfg.bucket_size), _EMPTY, dtype=jnp.int32),
+        pts=jnp.zeros((nb, cfg.bucket_size, cfg.cell_capacity, 3), dtype=dtype),
+        cnt=jnp.zeros((nb, cfg.bucket_size), dtype=jnp.int32),
     )
 
 
-def lookup(m: VoxelHashMap, cfg: MapConfig, cells: jnp.ndarray) -> jnp.ndarray:
-    """Find table slots for integer cell coords [Q, 3] -> i32[Q], -1 if absent.
-
-    Scans all ``n_probes`` linear-probe positions (no early exit), so
-    eviction holes never break lookup chains.
-    """
-    T = cfg.table_size
-    P = cfg.n_probes
-    h0 = hash_coords(cells, 0) & (T - 1)
-    slots = (h0[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]) & (T - 1)  # [Q,P]
-    occupied = m.used[slots]
-    key_eq = jnp.all(m.keys[slots] == cells[:, None, :], axis=-1)
-    match = occupied & key_eq
+def lookup_packed(m: VoxelHashMap, packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed cell keys [Q] -> flat slot index [Q] (bucket*B + lane), -1 if
+    absent.  One contiguous row gather per query."""
+    nb, B = m.keys.shape
+    bucket = _bucket_of(packed, nb)
+    rows = m.keys[bucket]  # [Q, B] contiguous row gather
+    match = rows == packed[:, None]
     any_match = jnp.any(match, axis=-1)
-    first = jnp.argmax(match, axis=-1).astype(jnp.int32)
-    found = jnp.take_along_axis(slots, first[:, None], axis=1)[:, 0]
-    return jnp.where(any_match, found, -1)
+    lane = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    return jnp.where(any_match, bucket * B + lane, -1)
+
+
+def lookup(m: VoxelHashMap, cfg: MapConfig, cells: jnp.ndarray) -> jnp.ndarray:
+    """Integer cell coords [Q,3] -> flat slot [Q] or -1."""
+    return lookup_packed(m, pack_cells(cells))
 
 
 def insert(
@@ -100,20 +134,15 @@ def insert(
     mask: jnp.ndarray,
     min_dist,
 ) -> VoxelHashMap:
-    """Insert a batch of world-frame points, keeping stored points at least
-    ``min_dist`` apart (the voxel-thinning role of the reference's per-block
-    VoxelGrid filter, LocalMap.h:562-567).
-
-    Fully vectorized: sort by cell, allocate slots in ``n_probes`` rounds of
-    claim-with-scatter-min, distance-gate, then one flat scatter.
-    """
-    T, C, P = cfg.table_size, cfg.cell_capacity, cfg.n_probes
+    """Insert world-frame points, keeping stored points >= ``min_dist`` apart
+    (the role of the reference's per-block VoxelGrid thinning,
+    LocalMap.h:562-587)."""
+    nb, B = m.keys.shape
+    C = m.cell_capacity
     n = xyz.shape[0]
-    lane = jnp.arange(n, dtype=jnp.int32)
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
 
-    # within-batch voxel thinning at min_dist (keep first point per fine
-    # voxel) — the in-batch half of the reference's per-block VoxelGrid
-    # refiltering; spacing vs. already-stored points is gated further below.
+    # --- within-batch voxel thinning at min_dist (keep first per voxel) ----
     fine = voxel_coords(xyz, jnp.maximum(jnp.asarray(min_dist, xyz.dtype), 1e-6))
     f1 = jnp.where(mask, hash_coords(fine, 0), _INT_MAX)
     f2 = jnp.where(mask, hash_coords(fine, 1), _INT_MAX)
@@ -122,53 +151,56 @@ def insert(
     first_of_voxel = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), (f1s[1:] != f1s[:-1]) | (f2s[1:] != f2s[:-1])]
     )
-    keep_sorted = jnp.zeros((n,), dtype=bool).at[forder].set(first_of_voxel)
-    mask = mask & keep_sorted
+    mask = mask & jnp.zeros((n,), dtype=bool).at[forder].set(first_of_voxel)
 
-    cells = voxel_coords(xyz, cfg.cell_size)
-    h1 = jnp.where(mask, hash_coords(cells, 0), _INT_MAX)
-    h2 = jnp.where(mask, hash_coords(cells, 1), _INT_MAX)
-    order = _composite_sort_order(h1, h2)
-
+    # --- group by destination cell -----------------------------------------
+    packed = pack_cells(voxel_coords(xyz, cfg.cell_size))
+    sort_key = jnp.where(mask, packed, _INT_MAX)
+    order = jnp.argsort(sort_key, stable=True)
     xyz_s = xyz[order]
-    cells_s = cells[order]
+    packed_s = packed[order]
     mask_s = mask[order]
-    h1s, h2s = h1[order], h2[order]
+    key_s = sort_key[order]
 
     new_run = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        [jnp.ones((1,), dtype=bool), key_s[1:] != key_s[:-1]]
     )
-    seg_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # [N]
+    seg_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
 
-    # --- resolve slot per lane -------------------------------------------
-    slot = lookup(m, cfg, cells_s)  # [N]
-    rep = new_run & mask_s & (slot < 0)  # unique new cells, one lane each
+    # --- resolve / allocate slots ------------------------------------------
+    slot = lookup_packed(m, packed_s)  # [N] flat or -1
+    rep = new_run & mask_s & (slot < 0)
 
-    used = m.used
     keys = m.keys
-    h0 = hash_coords(cells_s, 0) & (T - 1)
-    probe = jnp.zeros((n,), dtype=jnp.int32)
+    bucket = _bucket_of(packed_s, nb)
     pend = rep
-    for _ in range(P):
-        cand = (h0 + probe) & (T - 1)
-        cur_used = used[cand]
-        key_eq = jnp.all(keys[cand] == cells_s, axis=-1)
-        adopt = pend & cur_used & key_eq
-        slot = jnp.where(adopt, cand, slot)
-        pend = pend & ~(cur_used & key_eq)
+    for _ in range(cfg.n_probes):  # contention rounds within the bucket
+        rows = keys[bucket]  # [N, B]
+        match = rows == packed_s[:, None]
+        has_match = jnp.any(match, axis=-1)
+        mlane = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        adopt = pend & has_match
+        slot = jnp.where(adopt, bucket * B + mlane, slot)
+        pend = pend & ~has_match
 
-        free_try = pend & ~cur_used
-        claim_idx = jnp.where(free_try, cand, T)  # T = dropped
-        claims = jnp.full((T,), _INT_MAX).at[claim_idx].min(lane, mode="drop")
-        won = free_try & (claims[cand] == lane)
-        upd_idx = jnp.where(won, cand, T)
-        used = used.at[upd_idx].set(True, mode="drop")
-        keys = keys.at[upd_idx].set(cells_s, mode="drop")
+        empty = rows == _EMPTY
+        has_empty = jnp.any(empty, axis=-1)
+        elane = jnp.argmax(empty, axis=-1).astype(jnp.int32)
+        cand = bucket * B + elane
+        free_try = pend & has_empty
+        claim_idx = jnp.where(free_try, cand, nb * B)
+        claims = jnp.full((nb * B,), _INT_MAX).at[claim_idx].min(
+            lane_ids, mode="drop"
+        )
+        won = free_try & (claims[jnp.minimum(cand, nb * B - 1)] == lane_ids)
+        upd_idx = jnp.where(won, cand, nb * B)
+        keys = (
+            keys.reshape(-1).at[upd_idx].set(packed_s, mode="drop").reshape(nb, B)
+        )
         slot = jnp.where(won, cand, slot)
         pend = pend & ~won
-        probe = jnp.where(pend, probe + 1, probe)
+        # bucket full and no match -> candidate dropped after the rounds
 
-    # broadcast the rep's slot to every lane of its run
     seg_slot = jax.ops.segment_max(
         jnp.where(new_run, slot, -1), seg_id, num_segments=n
     )
@@ -177,17 +209,19 @@ def insert(
     ok = mask_s & (slot >= 0)
     safe_slot = jnp.maximum(slot, 0)
 
-    # --- distance gate vs. existing cell contents ------------------------
-    cell_pts = m.pts[safe_slot]  # [N, C, 3]
-    cell_cnt = m.cnt[safe_slot]  # [N]
+    # --- distance gate vs. existing cell contents ---------------------------
+    pts_flat = m.pts.reshape(nb * B, C, 3)
+    cnt_flat = m.cnt.reshape(nb * B)
+    cell_pts = pts_flat[safe_slot]  # [N, C, 3]
+    cell_cnt = cnt_flat[safe_slot]
     exist = jnp.arange(C, dtype=jnp.int32)[None, :] < cell_cnt[:, None]
     d2 = jnp.sum((cell_pts - xyz_s[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(exist, d2, _BIG)
     keep = ok & (jnp.min(d2, axis=-1) >= jnp.asarray(min_dist, xyz.dtype) ** 2)
 
-    # --- rank survivors within their cell, append ------------------------
+    # --- rank survivors within their cell, append ---------------------------
     inc = keep.astype(jnp.int32)
-    ex_cum = jnp.cumsum(inc) - inc  # exclusive prefix count
+    ex_cum = jnp.cumsum(inc) - inc
     seg_base = jax.ops.segment_sum(
         ex_cum * new_run.astype(jnp.int32), seg_id, num_segments=n
     )
@@ -195,29 +229,22 @@ def insert(
     dest = cell_cnt + rank
     write = keep & (dest < C)
 
-    # NOTE: sentinel must be positive-out-of-bounds — negative indices wrap
-    # NumPy-style in JAX scatters and would corrupt the last slot.
-    flat = jnp.where(write, safe_slot * C + dest, T * C)
-    pts = m.pts.reshape(T * C, 3).at[flat].set(xyz_s, mode="drop").reshape(T, C, 3)
+    flat = jnp.where(write, safe_slot * C + dest, nb * B * C)
+    pts = (
+        pts_flat.reshape(nb * B * C, 3)
+        .at[flat]
+        .set(xyz_s, mode="drop")
+        .reshape(nb, B, C, 3)
+    )
 
     adds = jax.ops.segment_sum(write.astype(jnp.int32), seg_id, num_segments=n)
     rep_lane = new_run & (slot >= 0) & mask_s
-    cnt_idx = jnp.where(rep_lane, safe_slot, T)
-    cnt = m.cnt.at[cnt_idx].add(adds[seg_id], mode="drop")
+    cnt_idx = jnp.where(rep_lane, safe_slot, nb * B)
+    cnt = (
+        cnt_flat.at[cnt_idx].add(adds[seg_id], mode="drop").reshape(nb, B)
+    )
 
-    return VoxelHashMap(keys=keys, used=used, pts=pts, cnt=cnt)
-
-
-# 27-neighborhood offsets, static
-_OFFSETS = jnp.stack(
-    jnp.meshgrid(
-        jnp.arange(-1, 2, dtype=jnp.int32),
-        jnp.arange(-1, 2, dtype=jnp.int32),
-        jnp.arange(-1, 2, dtype=jnp.int32),
-        indexing="ij",
-    ),
-    axis=-1,
-).reshape(27, 3)
+    return VoxelHashMap(keys=keys, pts=pts, cnt=cnt)
 
 
 def query_knn(
@@ -226,50 +253,90 @@ def query_knn(
     queries: jnp.ndarray,
     k: int,
 ):
-    """K nearest stored points for each query (world frame).
+    """K nearest stored points per query via the 8 octant-neighbor cells.
 
-    Gathers the 27 cells around each query and top-k's by squared distance —
-    the static-shape stand-in for the reference's per-block octree KNN
-    (LocalMap.h:481-525 nearestKSearchSurf, flann/octree.h knnNeighbors).
+    Static-shape stand-in for the reference's per-block octree KNN
+    (LocalMap.h:481-525, flann/octree.h).  Guaranteed support radius is
+    cell_size/2 around every query — larger than the pipeline's nominal
+    acceptance gates; beyond it neighbors may be missed (far-mode queries
+    only), which the NOT_ENOUGH_NEIGHBORS/TOO_FAR rejection codes absorb
+    exactly like the reference's block-boundary misses.
 
-    Returns ``(pts f32[Q,k,3], sqdist f32[Q,k], valid bool[Q,k])`` with
-    invalid lanes at +BIG distance.  Support radius is one cell size; the
-    caller's distance gates (3*res thresholds) are far tighter in practice.
+    Returns ``(pts f32[Q,k,3], sqdist f32[Q,k], valid bool[Q,k])``.
     """
-    C = cfg.cell_capacity
+    cand, cvalid = gather_candidates(m, cfg, queries)
+    return select_knn(cand, cvalid, queries, k)
+
+
+# octant offset patterns: 8 corners of {0, s}^3 where s = +-1 per axis
+_OCT_CORNERS = jnp.stack(
+    jnp.meshgrid(
+        jnp.arange(2, dtype=jnp.int32),
+        jnp.arange(2, dtype=jnp.int32),
+        jnp.arange(2, dtype=jnp.int32),
+        indexing="ij",
+    ),
+    axis=-1,
+).reshape(8, 3)
+
+
+def gather_candidates(m: VoxelHashMap, cfg: MapConfig, queries: jnp.ndarray):
+    """Gather the candidate point sets for a batch of queries: the 2x2x2
+    block of cells nearest each query.  Returns (cand f32[Q,8*C,3],
+    valid bool[Q,8*C]).  Exposed separately so ICP can gather once and
+    re-select across iterations."""
+    nb, B = m.keys.shape
+    C = m.cell_capacity
     q = queries
     nq = q.shape[0]
-    cell = voxel_coords(q, cfg.cell_size)
-    ncells = (cell[:, None, :] + _OFFSETS[None, :, :]).reshape(-1, 3)
-    slots = lookup(m, cfg, ncells).reshape(nq, 27)
+    scaled = q / cfg.cell_size
+    cell = jnp.floor(scaled).astype(jnp.int32)
+    frac = scaled - cell.astype(q.dtype)
+    side = jnp.where(frac < 0.5, -1, 1).astype(jnp.int32)  # [Q,3]
+    offs = _OCT_CORNERS[None, :, :] * side[:, None, :]  # [Q,8,3]
+    ncells = cell[:, None, :] + offs
+    packed = pack_cells(ncells.reshape(-1, 3))
+    slots = lookup_packed(m, packed).reshape(nq, 8)
     safe = jnp.maximum(slots, 0)
 
-    cand = m.pts[safe]  # [Q, 27, C, 3]
+    pts_flat = m.pts.reshape(nb * B, C, 3)
+    cnt_flat = m.cnt.reshape(nb * B)
+    cand = pts_flat[safe]  # [Q, 8, C, 3] contiguous row gathers
     cvalid = (slots >= 0)[..., None] & (
-        jnp.arange(C, dtype=jnp.int32)[None, None, :] < m.cnt[safe][..., None]
+        jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt_flat[safe][..., None]
     )
-    d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cvalid, d2, _BIG).reshape(nq, 27 * C)
+    return cand.reshape(nq, 8 * C, 3), cvalid.reshape(nq, 8 * C)
 
+
+def select_knn(cand: jnp.ndarray, cvalid: jnp.ndarray, queries: jnp.ndarray, k: int):
+    """Top-k nearest among gathered candidates."""
+    d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cvalid, d2, _BIG)
     neg, idx = jax.lax.top_k(-d2, k)
     sq = -neg
-    pts = jnp.take_along_axis(cand.reshape(nq, 27 * C, 3), idx[..., None], axis=1)
+    pts = jnp.take_along_axis(cand, idx[..., None], axis=1)
     valid = sq < _BIG * 0.5
     return pts, sq, valid
 
 
+def _wrapped_cell_delta(keys: jnp.ndarray, center_cell: jnp.ndarray) -> jnp.ndarray:
+    """Cell-coordinate delta to the center, modulo the pack period (nearest
+    representative)."""
+    coords = unpack_cells(keys)
+    d = (coords - center_cell[None, None, :]) & (_COORD_PERIOD - 1)
+    return jnp.where(d >= _COORD_PERIOD // 2, d - _COORD_PERIOD, d)
+
+
 def evict_far(m: VoxelHashMap, cfg: MapConfig, center: jnp.ndarray) -> VoxelHashMap:
     """Drop cells farther than ``evict_radius`` from ``center`` — the rolling
-    behavior of the reference map (shiftMap clears departing blocks,
-    LocalMap.h:169-287) without any data movement."""
-    cell_center = (m.keys.astype(m.pts.dtype) + 0.5) * cfg.cell_size
-    far = m.used & (
-        jnp.sum((cell_center - center[None, :]) ** 2, axis=-1)
-        > jnp.asarray(cfg.evict_radius, m.pts.dtype) ** 2
+    behavior of the reference map without data movement."""
+    center_cell = jnp.floor(center / cfg.cell_size).astype(jnp.int32)
+    d = _wrapped_cell_delta(m.keys, center_cell).astype(m.pts.dtype) * cfg.cell_size
+    far = (m.keys != _EMPTY) & (
+        jnp.sum(d * d, axis=-1) > jnp.asarray(cfg.evict_radius, m.pts.dtype) ** 2
     )
     return VoxelHashMap(
-        keys=m.keys,
-        used=m.used & ~far,
+        keys=jnp.where(far, _EMPTY, m.keys),
         pts=m.pts,
         cnt=jnp.where(far, 0, m.cnt),
     )
@@ -278,24 +345,27 @@ def evict_far(m: VoxelHashMap, cfg: MapConfig, center: jnp.ndarray) -> VoxelHash
 def census_box(
     m: VoxelHashMap, cfg: MapConfig, center: jnp.ndarray, half_extent: jnp.ndarray
 ) -> jnp.ndarray:
-    """Number of stored points whose cell center lies inside the axis-aligned
-    box around ``center`` — replaces get5x5LocalMapFeatureSize
-    (LocalMap.h:292-318) which feeds the hasEnoughFeatures gate."""
-    cell_center = (m.keys.astype(m.pts.dtype) + 0.5) * cfg.cell_size
-    inside = m.used & jnp.all(
-        jnp.abs(cell_center - center[None, :]) <= half_extent[None, :], axis=-1
+    """Stored points whose cell center lies inside the box around ``center``
+    — replaces get5x5LocalMapFeatureSize (LocalMap.h:292-318)."""
+    center_cell = jnp.floor(center / cfg.cell_size).astype(jnp.int32)
+    d = (
+        _wrapped_cell_delta(m.keys, center_cell).astype(m.pts.dtype) + 0.5
+    ) * cfg.cell_size
+    inside = (m.keys != _EMPTY) & jnp.all(
+        jnp.abs(d) <= half_extent[None, None, :], axis=-1
     )
     return jnp.sum(jnp.where(inside, m.cnt, 0))
 
 
 def total_points(m: VoxelHashMap) -> jnp.ndarray:
-    return jnp.sum(jnp.where(m.used, m.cnt, 0))
+    return jnp.sum(jnp.where(m.keys != _EMPTY, m.cnt, 0))
 
 
 def extract_points(m: VoxelHashMap):
     """Host-side helper: all stored points + validity mask, flattened."""
-    C = m.pts.shape[1]
-    valid = m.used[:, None] & (
-        jnp.arange(C, dtype=jnp.int32)[None, :] < m.cnt[:, None]
+    nb, B = m.keys.shape
+    C = m.cell_capacity
+    valid = (m.keys != _EMPTY)[..., None] & (
+        jnp.arange(C, dtype=jnp.int32)[None, None, :] < m.cnt[..., None]
     )
     return m.pts.reshape(-1, 3), valid.reshape(-1)

@@ -42,9 +42,9 @@ def _state_pspec(state: OdomState) -> OdomState:
         return P("data")
 
     specs = jax.tree_util.tree_map(default, state)
+    # shard each instance's hash table over 'model' along the bucket axis
     map_spec = type(state.surf_map)(
         keys=P("data", "model"),
-        used=P("data", "model"),
         pts=P("data", "model"),
         cnt=P("data", "model"),
     )

@@ -306,6 +306,7 @@ def step(
     reg_pose, icp_stats = icp_register(
         state.edge_map, state.surf_map, cfg.map, reg, pred_pose,
         edge_pts, edge_mask, surf_pts, surf_mask, rt, prior,
+        use_edges=cfg.use_edge_features,
     )
     run_icp = state.initialized & enough
     pose = jax.tree_util.tree_map(
@@ -354,12 +355,27 @@ def step(
         state.surf_map, cfg.map, surf_world, surf_mask & do_update_map,
         rt.plane_res,
     )
-    edge_map = insert(
-        state.edge_map, cfg.map, edge_world, edge_mask & do_update_map,
-        rt.line_res,
+    # evict on a cadence: a full-table distance pass every frame is wasted
+    # work (the rolling region moves slowly); lax.cond executes one branch
+    surf_map = jax.lax.cond(
+        state.frame_count % 8 == 0,
+        lambda mp: evict_far(mp, cfg.map, pose.t),
+        lambda mp: mp,
+        surf_map,
     )
-    surf_map = evict_far(surf_map, cfg.map, pose.t)
-    edge_map = evict_far(edge_map, cfg.map, pose.t)
+    if cfg.use_edge_features:
+        edge_map = insert(
+            state.edge_map, cfg.map, edge_world, edge_mask & do_update_map,
+            rt.line_res,
+        )
+        edge_map = jax.lax.cond(
+            state.frame_count % 8 == 0,
+            lambda mp: evict_far(mp, cfg.map, pose.t),
+            lambda mp: mp,
+            edge_map,
+        )
+    else:
+        edge_map = state.edge_map
 
     # ---------------- inertial smoother (process 3) ------------------------
     lidar2imu = Pose(matrix_to_quat(R_il), t_il)

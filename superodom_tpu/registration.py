@@ -38,7 +38,12 @@ from superodom_tpu.geometry import (
     quat_rotate,
     skew,
 )
-from superodom_tpu.mapstate import VoxelHashMap, query_knn
+from superodom_tpu.mapstate import (
+    VoxelHashMap,
+    gather_candidates,
+    query_knn,
+    select_knn,
+)
 from superodom_tpu.ops.eigh3 import eigh3, solve3
 
 # MatchingResult codes (reference LidarSlam.h:85-94)
@@ -143,11 +148,32 @@ def compute_plane_correspondences(
 ) -> PlaneCorrs:
     """Vmapped equivalent of ComputePlaneDistanceParameters
     (reference LidarSlam.cpp:514-572) over all surf features at once."""
+    cand, cvalid = gather_candidates(surf_map, map_cfg, pose.apply(p_body))
+    return plane_correspondences_from_candidates(
+        cand, cvalid, reg, pose, p_body, mask, plane_res
+    )
+
+
+def plane_correspondences_from_candidates(
+    cand: jnp.ndarray,
+    cvalid: jnp.ndarray,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    plane_res,
+) -> PlaneCorrs:
+    """Plane correspondence fitting against pre-gathered candidate sets.
+
+    Candidate gathering (hash lookups + HBM row gathers) is the hot op; the
+    ICP loop gathers once at the predicted pose and re-selects per iteration
+    — valid while per-iteration pose corrections stay within the octant
+    support margin (cell_size/2 >> typical ICP corrections)."""
     k = reg.plane_knn
     m = p_body.shape[0]
     w_pt = pose.apply(p_body)  # pFinal
 
-    neigh, sq, nvalid = query_knn(surf_map, map_cfg, w_pt, k)
+    neigh, sq, nvalid = select_knn(cand, cvalid, w_pt, k)
     n_found = jnp.sum(nvalid.astype(jnp.int32), axis=-1)
     enough = n_found >= k
     # reference compares the k-th squared distance against 3*planeRes
@@ -251,11 +277,26 @@ def compute_edge_correspondences(
     """Vmapped equivalent of ComputeLineDistanceParameters + the line-inlier
     selection of nearestKSearchSpecificEdgePoint (reference
     LidarSlam.cpp:402-493, LocalMap.h:377-474)."""
+    cand, cvalid = gather_candidates(edge_map, map_cfg, pose.apply(p_body))
+    return edge_correspondences_from_candidates(
+        cand, cvalid, reg, pose, p_body, mask, line_res
+    )
+
+
+def edge_correspondences_from_candidates(
+    cand: jnp.ndarray,
+    cvalid: jnp.ndarray,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    line_res,
+) -> EdgeCorrs:
     k = reg.edge_knn
     m = p_body.shape[0]
     w_pt = pose.apply(p_body)
 
-    neigh, sq, nvalid = query_knn(edge_map, map_cfg, w_pt, k)
+    neigh, sq, nvalid = select_knn(cand, cvalid, w_pt, k)
 
     # --- line-inlier consensus: best line through the closest point -------
     p1 = neigh[:, 0, :]  # closest neighbor
@@ -341,6 +382,7 @@ def _accumulate_normal_system(
     edges: EdgeCorrs,
     rt: RuntimeParams,
     prior: Optional[PosePrior],
+    use_edges: bool = True,
 ):
     """Build H (6x6) and g (6,) from all correspondences at the current pose.
 
@@ -361,26 +403,29 @@ def _accumulate_normal_system(
     g = jnp.einsum("m,mi,m->i", w_p, J_p, r_p)
     cost = jnp.sum(w_p * r_p * r_p)
 
-    # ---- edges -----------------------------------------------------------
-    we = pose.apply(edges.p_body)  # [Me,3]
-    d_ab = edges.a - edges.b
-    d_norm = jnp.maximum(jnp.linalg.norm(d_ab, axis=-1, keepdims=True), 1e-9)
-    r_e = jnp.cross(we - edges.a, we - edges.b) / d_norm  # [Me,3]
-    L = skew(-d_ab / d_norm)  # dr/dw = [b-a]x / |a-b|
-    Jw = jnp.concatenate(
-        [
-            jnp.broadcast_to(jnp.eye(3, dtype=dtype), L.shape),
-            -skew(we),
-        ],
-        axis=-1,
-    )  # [Me,3,6] : dw/d[dt,dw]
-    J_e = jnp.einsum("mij,mjk->mik", L, Jw)  # [Me,3,6]
-    sq_e = jnp.sum(r_e * r_e, axis=-1)
-    w_tukey_e = _tukey_weight(sq_e, 3.0 * rt.line_res)
-    w_e = edges.valid.astype(dtype) * edges.coeff * w_tukey_e
-    H = H + jnp.einsum("m,mri,mrj->ij", w_e, J_e, J_e)
-    g = g + jnp.einsum("m,mri,mr->i", w_e, J_e, r_e)
-    cost = cost + jnp.sum(w_e * sq_e)
+    # ---- edges (statically removed when unused) ---------------------------
+    if not use_edges:
+        edges = None
+    if use_edges:
+        we = pose.apply(edges.p_body)  # [Me,3]
+        d_ab = edges.a - edges.b
+        d_norm = jnp.maximum(jnp.linalg.norm(d_ab, axis=-1, keepdims=True), 1e-9)
+        r_e = jnp.cross(we - edges.a, we - edges.b) / d_norm  # [Me,3]
+        L = skew(-d_ab / d_norm)  # dr/dw = [b-a]x / |a-b|
+        Jw = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(3, dtype=dtype), L.shape),
+                -skew(we),
+            ],
+            axis=-1,
+        )  # [Me,3,6] : dw/d[dt,dw]
+        J_e = jnp.einsum("mij,mjk->mik", L, Jw)  # [Me,3,6]
+        sq_e = jnp.sum(r_e * r_e, axis=-1)
+        w_tukey_e = _tukey_weight(sq_e, 3.0 * rt.line_res)
+        w_e = edges.valid.astype(dtype) * edges.coeff * w_tukey_e
+        H = H + jnp.einsum("m,mri,mrj->ij", w_e, J_e, J_e)
+        g = g + jnp.einsum("m,mri,mr->i", w_e, J_e, r_e)
+        cost = cost + jnp.sum(w_e * sq_e)
 
     # ---- absolute pose prior (degeneracy aid) ----------------------------
     if prior is not None:
@@ -403,6 +448,7 @@ def gauss_newton_solve(
     n_iters: int,
     prior: Optional[PosePrior] = None,
     damping: float = 1e-4,
+    use_edges: bool = True,
 ):
     """Fixed-count damped Gauss-Newton on SE(3) with IRLS robust weights —
     the stand-in for ceres::Solve (DENSE_QR, max 4 iterations,
@@ -410,7 +456,8 @@ def gauss_newton_solve(
 
     def body(carry, _):
         p, first_step_small = carry
-        H, g, _ = _accumulate_normal_system(p, planes, edges, rt, prior)
+        H, g, _ = _accumulate_normal_system(p, planes, edges, rt, prior,
+                                            use_edges)
         Hd = H + damping * jnp.eye(6, dtype=g.dtype) * (1.0 + jnp.diag(H))
         delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), g)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
@@ -421,7 +468,8 @@ def gauss_newton_solve(
     (pose_out, _), steps = jax.lax.scan(
         body, (pose, jnp.array(False)), None, length=n_iters
     )
-    H_final, _, _ = _accumulate_normal_system(pose_out, planes, edges, rt, prior)
+    H_final, _, _ = _accumulate_normal_system(pose_out, planes, edges, rt,
+                                              prior, use_edges)
     return pose_out, H_final, steps[0]
 
 
@@ -496,24 +544,57 @@ def icp_register(
     surf_mask: jnp.ndarray,
     rt: RuntimeParams,
     prior: Optional[PosePrior] = None,
+    use_edges: bool = True,
 ) -> Tuple[Pose, IcpStats]:
     """Scan-to-map ICP (reference performLocalizationAndMapping,
     LidarSlam.cpp:107-152): fixed outer iterations of correspondence
     extraction + robust GN, with a convergence mask freezing finished
-    instances (static shapes keep this vmappable over robot instances)."""
+    instances (static shapes keep this vmappable over robot instances).
+
+    Candidate point sets are gathered from the hash map ONCE at the
+    predicted pose and re-selected each iteration — the gather (hash
+    lookups + HBM row gathers) dominates the reference-style per-iteration
+    re-search, and the octant support margin (cell_size/2, ~1 m) far
+    exceeds per-iteration ICP corrections.  ``use_edges=False`` statically
+    removes the edge path (the slim reference ships empty edge clouds)."""
     max_it = reg.max_icp_iters
     dtype = surf_pts.dtype
 
+    surf_cand, surf_cvalid = gather_candidates(
+        surf_map, map_cfg, pose0.apply(surf_pts)
+    )
+    if use_edges:
+        edge_cand, edge_cvalid = gather_candidates(
+            edge_map, map_cfg, pose0.apply(edge_pts)
+        )
+
+    def correspondences(pose):
+        planes = plane_correspondences_from_candidates(
+            surf_cand, surf_cvalid, reg, pose, surf_pts, surf_mask, rt.plane_res
+        )
+        if use_edges:
+            lines = edge_correspondences_from_candidates(
+                edge_cand, edge_cvalid, reg, pose, edge_pts, edge_mask,
+                rt.line_res,
+            )
+        else:
+            ne = edge_pts.shape[0]
+            lines = EdgeCorrs(
+                p_body=edge_pts,
+                a=jnp.zeros((ne, 3), dtype),
+                b=jnp.ones((ne, 3), dtype),
+                coeff=jnp.zeros((ne,), dtype),
+                valid=jnp.zeros((ne,), bool),
+                code=jnp.full((ne,), MATCH_UNKNOWN, jnp.int32),
+            )
+        return planes, lines
+
     def outer(carry, _):
         pose, converged, _last = carry
-        planes = compute_plane_correspondences(
-            surf_map, map_cfg, reg, pose, surf_pts, surf_mask, rt.plane_res
-        )
-        lines = compute_edge_correspondences(
-            edge_map, map_cfg, reg, pose, edge_pts, edge_mask, rt.line_res
-        )
+        planes, lines = correspondences(pose)
         new_pose, H, one_step = gauss_newton_solve(
-            pose, planes, lines, rt, reg.max_gn_iters, prior
+            pose, planes, lines, rt, reg.max_gn_iters, prior,
+            use_edges=use_edges,
         )
         # freeze once converged (mirrors the num_successful_steps==1 break)
         new_pose = jax.tree_util.tree_map(
@@ -535,12 +616,7 @@ def icp_register(
         return (new_pose, now_converged, (planes, lines, H)), it_stats
 
     # run once eagerly to build the carry structure for lax.scan
-    init_planes = compute_plane_correspondences(
-        surf_map, map_cfg, reg, pose0, surf_pts, surf_mask, rt.plane_res
-    )
-    init_lines = compute_edge_correspondences(
-        edge_map, map_cfg, reg, pose0, edge_pts, edge_mask, rt.line_res
-    )
+    init_planes, init_lines = correspondences(pose0)
     init_H = jnp.zeros((6, 6), dtype)
     carry0 = (pose0, jnp.array(False), (init_planes, init_lines, init_H))
 

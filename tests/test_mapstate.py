@@ -6,7 +6,8 @@ from superodom_tpu.config import MapConfig
 from superodom_tpu import mapstate as ms
 
 
-CFG = MapConfig(cell_size=1.0, table_size=1 << 12, cell_capacity=16, n_probes=8)
+CFG = MapConfig(cell_size=1.0, table_size=1 << 12, bucket_size=8,
+                cell_capacity=16, n_probes=4)
 
 
 def brute_knn(points, query, k):
@@ -61,8 +62,9 @@ def test_knn_matches_bruteforce(rng):
     npts, nsq, nvalid = np.asarray(npts), np.asarray(nsq), np.asarray(nvalid)
     for i, q in enumerate(queries):
         ref_pts, ref_d = brute_knn(stored, q, k)
-        # all reference neighbors within one cell radius must be found
-        in_range = ref_d < (CFG.cell_size * 0.99) ** 2
+        # all reference neighbors within the octant support (cell_size/2)
+        # must be found
+        in_range = ref_d < (CFG.cell_size * 0.49) ** 2
         np.testing.assert_allclose(
             np.sort(nsq[i][: in_range.sum()]), np.sort(ref_d[in_range]), atol=1e-4
         )
@@ -77,14 +79,14 @@ def test_knn_respects_cell_support(rng):
     m = insert_np(m, pts, np.ones(2, bool), 1e-4)
     npts, nsq, nvalid = ms.query_knn(m, CFG, jnp.asarray([[0.0, 0.0, 0.0]], np.float32), 3)
     assert bool(nvalid[0, 0])
-    assert not bool(nvalid[0, 1])  # far point not in 27-cell support
+    assert not bool(nvalid[0, 1])  # far point not in the octant support
 
 
 def test_evict_far(rng):
     m = ms.empty_map(CFG)
     near = rng.uniform(-2, 2, size=(50, 3)).astype(np.float32)
-    cfg_small = MapConfig(cell_size=1.0, table_size=1 << 12, cell_capacity=16,
-                          n_probes=8, evict_radius=10.0)
+    cfg_small = MapConfig(cell_size=1.0, table_size=1 << 12, bucket_size=8,
+                          cell_capacity=16, n_probes=4, evict_radius=10.0)
     far = near + 50.0
     m = ms.insert(m, cfg_small, jnp.asarray(np.concatenate([near, far])),
                   jnp.ones(100, dtype=bool), 1e-4)
@@ -100,8 +102,8 @@ def test_evict_far(rng):
 
 def test_reinsert_after_evict_finds_slots(rng):
     """Eviction holes must not break lookup/insert chains."""
-    cfg = MapConfig(cell_size=1.0, table_size=1 << 10, cell_capacity=8,
-                    n_probes=8, evict_radius=5.0)
+    cfg = MapConfig(cell_size=1.0, table_size=1 << 10, bucket_size=8,
+                    cell_capacity=8, n_probes=4, evict_radius=5.0)
     m = ms.empty_map(cfg)
     pts = rng.uniform(-3, 3, size=(200, 3)).astype(np.float32)
     m = ms.insert(m, cfg, jnp.asarray(pts), jnp.ones(200, bool), 0.1)
@@ -130,3 +132,12 @@ def test_insert_jit_compatible(rng):
     m = f(m, pts)
     m = f(m, pts + 100.0)
     assert int(ms.total_points(m)) > 0
+
+
+def test_pack_unpack_roundtrip(rng):
+    from superodom_tpu.mapstate import pack_cells, unpack_cells
+    import jax.numpy as jnp
+    cells = rng.integers(-511, 511, size=(1000, 3)).astype(np.int32)
+    packed = pack_cells(jnp.asarray(cells))
+    back = np.asarray(unpack_cells(packed))
+    np.testing.assert_array_equal(back, cells)
