@@ -67,7 +67,8 @@ def make_batched_step(cfg: PipelineConfig, mesh: Mesh):
     dummy = init_state(cfg)
     state_spec = _state_pspec(dummy)
     scan_spec = Scan(
-        xyz=P("data"), t_rel=P("data"), mask=P("data"), t_start=P("data")
+        xyz=P("data"), t_rel=P("data"), mask=P("data"), t_start=P("data"),
+        ring=P("data"),
     )
     imu_spec = ImuWindow(
         t=P("data"), acc=P("data"), gyr=P("data"), q=P("data"), mask=P("data")
