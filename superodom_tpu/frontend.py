@@ -112,50 +112,69 @@ def _interp_pose_at(imu: ImuWindow, pos: jnp.ndarray, times: jnp.ndarray) -> Pos
     return Pose(q, p)
 
 
+def undistort_points(
+    xyz: jnp.ndarray,
+    t_rel: jnp.ndarray,
+    mask: jnp.ndarray,
+    t_start,
+    imu: ImuWindow,
+    R_i_l: jnp.ndarray,
+    t_i_l: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Motion undistortion: re-express points in the scan-start lidar frame
+    using slerp-interpolated IMU orientation (reference
+    removePointDistortion<Imu>, featureExtraction.cpp:222-314).
+
+    T_final = T_l_i * (T_w_start^-1 * T_w_point) * T_i_l applied per point.
+    Works on any point subset (the pipeline undistorts only the selected
+    feature points; the reference undistorts the full cloud because it
+    republishes it).
+
+    Returns (undistorted xyz, q_w_original_l, t_w_original_l): the initial
+    orientation/position guess shipped to mapping in the reference's
+    LaserFeature message.
+    """
+    t_start = jnp.asarray(t_start, xyz.dtype)
+    zeros = jnp.zeros((imu.t.shape[0], 3), dtype=xyz.dtype)
+    start_pose = _interp_pose_at(imu, zeros, t_start[None])
+    q_w_start = start_pose.q[0]
+
+    pt_times = t_start + t_rel
+    pt_pose = _interp_pose_at(imu, zeros, pt_times)
+
+    # T_orig_cur = T_w_start^-1 * T_w_cur (rotation-only for the IMU path)
+    q_rel = quat_mul(
+        jnp.broadcast_to(
+            quat_normalize(q_w_start * jnp.array([1, -1, -1, -1], xyz.dtype)),
+            pt_pose.q.shape,
+        ),
+        pt_pose.q,
+    )
+    # conjugate by the imu->lidar extrinsic: p' = R_l_i (q_rel (R_i_l p + t_i_l)) + t_l_i
+    p_imu = xyz @ R_i_l.T + t_i_l
+    p_rot = quat_rotate(q_rel, p_imu)
+    p_out = (p_rot - t_i_l) @ R_i_l  # R_l_i = R_i_l^T ; t_l_i = -R_i_l^T t_i_l
+
+    out = jnp.where(mask[:, None], p_out, xyz)
+
+    # initial guess: T_w_original * T_i_l (featureExtraction.cpp:283-289)
+    q_w_original_l = quat_normalize(
+        quat_mul(q_w_start, _matrix_quat(R_i_l, xyz.dtype))
+    )
+    t_w_original_l = quat_rotate(q_w_start, t_i_l)
+    return out, q_w_original_l, t_w_original_l
+
+
 def undistort_scan(
     scan: Scan,
     imu: ImuWindow,
     R_i_l: jnp.ndarray,
     t_i_l: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Motion undistortion: re-express every point in the scan-start lidar
-    frame using slerp-interpolated IMU orientation (reference
-    removePointDistortion<Imu>, featureExtraction.cpp:222-314).
-
-    T_final = T_l_i * (T_w_start^-1 * T_w_point) * T_i_l applied per point.
-
-    Returns (undistorted xyz, q_w_original_l, t_w_original_l): the initial
-    orientation/position guess shipped to mapping in the reference's
-    LaserFeature message.
-    """
-    zeros = jnp.zeros((imu.t.shape[0], 3), dtype=scan.xyz.dtype)
-    start_pose = _interp_pose_at(imu, zeros, scan.t_start[None])
-    q_w_start = start_pose.q[0]
-
-    pt_times = scan.t_start + scan.t_rel
-    pt_pose = _interp_pose_at(imu, zeros, pt_times)
-
-    # T_orig_cur = T_w_start^-1 * T_w_cur (rotation-only for the IMU path)
-    q_rel = quat_mul(
-        jnp.broadcast_to(
-            quat_normalize(q_w_start * jnp.array([1, -1, -1, -1], scan.xyz.dtype)),
-            pt_pose.q.shape,
-        ),
-        pt_pose.q,
+    """Full-cloud undistortion (see undistort_points)."""
+    return undistort_points(
+        scan.xyz, scan.t_rel, scan.mask, scan.t_start, imu, R_i_l, t_i_l
     )
-    # conjugate by the imu->lidar extrinsic: p' = R_l_i (q_rel (R_i_l p + t_i_l)) + t_l_i
-    p_imu = scan.xyz @ R_i_l.T + t_i_l
-    p_rot = quat_rotate(q_rel, p_imu)
-    p_out = (p_rot - t_i_l) @ R_i_l  # R_l_i = R_i_l^T ; t_l_i = -R_i_l^T t_i_l
-
-    xyz = jnp.where(scan.mask[:, None], p_out, scan.xyz)
-
-    # initial guess: T_w_original * T_i_l (featureExtraction.cpp:283-289)
-    q_w_original_l = quat_normalize(
-        quat_mul(q_w_start, _matrix_quat(R_i_l, scan.xyz.dtype))
-    )
-    t_w_original_l = quat_rotate(q_w_start, t_i_l)
-    return xyz, q_w_original_l, t_w_original_l
 
 
 def _matrix_quat(R: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -234,6 +253,7 @@ def select_features(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
     capacity: int,
+    *extras: jnp.ndarray,
 ):
     """Compact the masked feature points into a fixed-width array of
     ``capacity`` lanes.  When more features exist than fit, applies the
@@ -257,4 +277,6 @@ def select_features(
     keys = jnp.where(sel, n - lane, 0)
     _, idx = jax.lax.top_k(keys, capacity)
     out_mask = sel[idx]
+    if extras:
+        return (xyz[idx], out_mask) + tuple(e[idx] for e in extras)
     return xyz[idx], out_mask

@@ -23,7 +23,7 @@ from superodom_tpu.frontend import (
     Scan,
     curvature_edge_extraction,
     select_features,
-    undistort_scan,
+    undistort_points,
     uniform_feature_extraction,
 )
 from superodom_tpu.geometry import (
@@ -250,38 +250,48 @@ def step(
     R_il = jnp.asarray(np.asarray(np_ext.R_imu_laser), dtype)
     t_il = jnp.asarray(np.asarray(np_ext.t_imu_laser), dtype)
 
-    # ---------------- frontend: undistort + extract features ---------------
-    xyz_u, q_w_orig_l, _ = undistort_scan(scan, imu, R_il, t_il)
-    xyz_u = jnp.where(imu_available, xyz_u, scan.xyz)
-    q_imu_pred = jnp.where(imu_available, q_w_orig_l, quat_identity(dtype))
-
+    # ---------------- frontend: extract features, then undistort -----------
+    # Feature gates/thinning run on the RAW cloud and only the selected
+    # features are undistorted: distortion over one sweep (<= a few cm at
+    # normal platform speeds) is far below the thinning resolution, and the
+    # reference only undistorts everything because it republishes the full
+    # cloud, which this pipeline does not.
     feat_mask = uniform_feature_extraction(
-        xyz_u, scan.mask, sensor.filter_point_size, sensor.min_range,
+        scan.xyz, scan.mask, sensor.filter_point_size, sensor.min_range,
         sensor.max_range,
     )
 
-    rt, average_distance = _adjust_voxel_size(cfg, state.rt, xyz_u, feat_mask)
+    rt, average_distance = _adjust_voxel_size(cfg, state.rt, scan.xyz, feat_mask)
 
     # scan-stack voxel thinning (the role of downSizeFilterSurf,
     # laserMapping.cpp:643-645).  Scatter-claim keeps the first point per
     # voxel instead of PCL's centroid — one O(N) scatter instead of two
     # full argsorts at 131k lanes; sub-resolution placement differences are
     # absorbed by the correspondence gates.
-    ds_keep = voxel_downsample_scatter(xyz_u, feat_mask, rt.plane_res)
-    surf_pts, surf_mask = select_features(
-        xyz_u, ds_keep, sensor.max_surface_features
+    ds_keep = voxel_downsample_scatter(scan.xyz, feat_mask, rt.plane_res)
+    surf_raw, surf_mask, surf_trel = select_features(
+        scan.xyz, ds_keep, sensor.max_surface_features, scan.t_rel
     )
+    surf_u, q_w_orig_l, _ = undistort_points(
+        surf_raw, surf_trel, surf_mask, scan.t_start, imu, R_il, t_il
+    )
+    surf_pts = jnp.where(imu_available, surf_u, surf_raw)
+    q_imu_pred = jnp.where(imu_available, q_w_orig_l, quat_identity(dtype))
 
     if cfg.use_edge_features:
         em_full = curvature_edge_extraction(
-            xyz_u, scan.ring, scan.mask,
+            scan.xyz, scan.ring, scan.mask,
             curvature_threshold=cfg.edge_curvature_threshold,
             min_range=sensor.min_range,
         )
-        em_keep = voxel_downsample_scatter(xyz_u, em_full, rt.line_res)
-        edge_pts, edge_mask = select_features(
-            xyz_u, em_keep, sensor.max_edge_features
+        em_keep = voxel_downsample_scatter(scan.xyz, em_full, rt.line_res)
+        edge_raw, edge_mask, edge_trel = select_features(
+            scan.xyz, em_keep, sensor.max_edge_features, scan.t_rel
         )
+        edge_u, _, _ = undistort_points(
+            edge_raw, edge_trel, edge_mask, scan.t_start, imu, R_il, t_il
+        )
+        edge_pts = jnp.where(imu_available, edge_u, edge_raw)
     else:
         # slim-release parity: empty edge clouds (featureExtraction.cpp:429)
         edge_pts = jnp.zeros((sensor.max_edge_features, 3), dtype)
