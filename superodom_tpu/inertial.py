@@ -106,40 +106,64 @@ class Preintegrated(NamedTuple):
     ref_bg: jnp.ndarray  # f32[3]
 
 
-def _preintegrate_raw(t, acc, gyr, mask, ba, bg, dtype):
-    def step(carry, inp):
-        q, v, p, t_prev, dt_tot, started = carry
-        t_i, a_i, g_i, m_i = inp
-        dt = jnp.where(started, jnp.clip(t_i - t_prev, 1e-4, 0.5), 0.0)
-        # reference uses dt=1/200 for the first sample and clamps outliers
-        # (imuPreintegration.cpp:258-264)
-        dt = jnp.where(m_i & ~started, 1.0 / 200.0, dt)
-        a = a_i - ba
-        g = g_i - bg
-        acc_w = quat_rotate(q, a)
-        p_new = p + v * dt + 0.5 * acc_w * dt * dt
-        v_new = v + acc_w * dt
-        q_new = quat_normalize(quat_mul(q, so3_exp(g * dt)))
-        new = (
-            jnp.where(m_i, q_new, q),
-            jnp.where(m_i, v_new, v),
-            jnp.where(m_i, p_new, p),
-            jnp.where(m_i, t_i, t_prev),
-            jnp.where(m_i, dt_tot + dt, dt_tot),
-            started | m_i,
-        )
-        return new, None
-
-    init = (
-        quat_identity(dtype),
-        jnp.zeros(3, dtype),
-        jnp.zeros(3, dtype),
-        jnp.zeros((), dtype),
-        jnp.zeros((), dtype),
-        jnp.array(False),
+def _sample_dts(t, mask, dtype):
+    """Per-sample integration dt with the reference's bootstrapping and
+    clamping (imuPreintegration.cpp:258-264): first valid sample uses
+    1/200 s, gaps are clamped to [1e-4, 0.5], invalid lanes contribute 0."""
+    idx = jnp.cumsum(mask.astype(jnp.int32))
+    first = mask & (idx == 1)
+    t_masked = jnp.where(mask, t, -jnp.float32(3.4e38))
+    run_max = jax.lax.associative_scan(jnp.maximum, t_masked)
+    prev_t = jnp.concatenate(
+        [jnp.full((1,), -jnp.float32(3.4e38), dtype), run_max[:-1]]
     )
-    (q, v, p, _, dt_tot, _), _ = jax.lax.scan(step, init, (t, acc, gyr, mask))
-    return q, v, p, dt_tot
+    dt = jnp.clip(t - prev_t, 1e-4, 0.5)
+    dt = jnp.where(first, 1.0 / 200.0, dt)
+    return jnp.where(mask, dt, 0.0)
+
+
+def _integrate_chain(t, acc, gyr, mask, ba, bg, dtype, q0=None, gravity_w=None,
+                     v0=None, p0=None):
+    """Parallel (log-depth) strapdown integration via associative scans:
+    the quaternion chain Q_i = dq_1 * ... * dq_i is an associative product;
+    velocities/positions follow by prefix sums.  Semantics match the
+    sequential formulation: a_i is rotated by the attitude BEFORE sample i,
+    p uses the velocity before the sample (midpoint on acceleration).
+
+    Returns per-sample (q[i], v[i], p[i]) inclusive of sample i, plus dts.
+    """
+    dt = _sample_dts(t, mask, dtype)
+    a = acc - ba
+    g = gyr - bg
+    dq = so3_exp(g * dt[:, None])  # identity where dt == 0
+    Q = jax.lax.associative_scan(quat_mul, dq)
+    Q = quat_normalize(Q)
+    if q0 is not None:
+        Q = quat_normalize(quat_mul(q0[None, :], Q))
+        q_prev = jnp.concatenate([q0[None, :], Q[:-1]], axis=0)
+    else:
+        q_prev = jnp.concatenate([quat_identity(dtype)[None, :], Q[:-1]], axis=0)
+    acc_w = quat_rotate(q_prev, a)
+    if gravity_w is not None:
+        acc_w = acc_w + gravity_w[None, :]
+    acc_w = jnp.where(mask[:, None], acc_w, 0.0)
+    dv = acc_w * dt[:, None]
+    v = jnp.cumsum(dv, axis=0)
+    if v0 is not None:
+        v = v + v0[None, :]
+        v_prev = jnp.concatenate([v0[None, :], v[:-1]], axis=0)
+    else:
+        v_prev = jnp.concatenate([jnp.zeros((1, 3), dtype), v[:-1]], axis=0)
+    dp = v_prev * dt[:, None] + 0.5 * acc_w * dt[:, None] ** 2
+    p = jnp.cumsum(dp, axis=0)
+    if p0 is not None:
+        p = p + p0[None, :]
+    return Q, v, p, dt
+
+
+def _preintegrate_raw(t, acc, gyr, mask, ba, bg, dtype):
+    Q, v, p, dt = _integrate_chain(t, acc, gyr, mask, ba, bg, dtype)
+    return Q[-1], v[-1], p[-1], jnp.sum(dt)
 
 
 def preintegrate(imu: ImuWindow, ba: jnp.ndarray, bg: jnp.ndarray) -> Preintegrated:
@@ -432,22 +456,8 @@ def propagate_high_rate(
     """
     dtype = state.p.dtype
     gravity_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
-    ba, bg = state.ba[-1], state.bg[-1]
-
-    def step(carry, inp):
-        q, p, v, t_prev, started = carry
-        t_i, a_i, g_i, m_i = inp
-        dt = jnp.where(started & m_i, jnp.clip(t_i - t_prev, 1e-4, 0.5), 0.0)
-        dt = jnp.where(m_i & ~started, 1.0 / 200.0, dt)
-        acc_w = quat_rotate(q, a_i - ba) + gravity_w
-        p_n = p + v * dt + 0.5 * acc_w * dt * dt
-        v_n = v + acc_w * dt
-        q_n = quat_normalize(quat_mul(q, so3_exp((g_i - bg) * dt)))
-        q = jnp.where(m_i, q_n, q)
-        p = jnp.where(m_i, p_n, p)
-        v = jnp.where(m_i, v_n, v)
-        return (q, p, v, jnp.where(m_i, t_i, t_prev), started | m_i), (q, p, v)
-
-    init = (state.q[-1], state.p[-1], state.v[-1], state.t[-1], jnp.array(False))
-    _, (qs, ps, vs) = jax.lax.scan(step, init, (imu.t, imu.acc, imu.gyr, imu.mask))
+    qs, vs, ps, _ = _integrate_chain(
+        imu.t, imu.acc, imu.gyr, imu.mask, state.ba[-1], state.bg[-1], dtype,
+        q0=state.q[-1], gravity_w=gravity_w, v0=state.v[-1], p0=state.p[-1],
+    )
     return Pose(qs, ps), vs, imu.mask
