@@ -624,7 +624,16 @@ def icp_register(
         jax.lax.scan(outer, carry0, None, length=max_it)
     )
 
-    err = estimate_registration_error(H)
+    # alignment risk must measure the LIDAR data alone: remove the absolute-
+    # pose prior's (diagonal) information before the covariance analysis,
+    # otherwise aiding masks the degeneracy it is meant to compensate and the
+    # flag oscillates frame to frame.
+    H_data = H
+    if prior is not None:
+        H_data = H - jnp.diag(
+            prior.information * prior.enabled.astype(H.dtype)
+        )
+    err = estimate_registration_error(H_data)
     obs_flat = jnp.where(
         planes.valid[:, None], planes.obs_bins, -jnp.ones_like(planes.obs_bins)
     ).reshape(-1)

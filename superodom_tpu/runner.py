@@ -163,6 +163,21 @@ class OdometryRunner:
             mask=jnp.zeros((m,), bool),
         )
 
+    # ---------------- external odometry (VIO) aiding ------------------------
+    def set_vio_pose(self, q_wxyz: np.ndarray, t_xyz: np.ndarray,
+                     available: bool = True):
+        """Provide an external (e.g. visual-inertial) absolute pose estimate.
+        Used as the prediction source and as an absolute-pose constraint when
+        the lidar geometry is degenerate (reference visual_odom_Handler +
+        addAbsolutePoseConstraints, LidarSlam.cpp:281-298)."""
+        from superodom_tpu.geometry import Pose as _Pose
+
+        self.state = self.state._replace(
+            vio_pose=_Pose(jnp.asarray(q_wxyz, self.dtype),
+                           jnp.asarray(t_xyz, self.dtype)),
+            vio_available=jnp.asarray(bool(available)),
+        )
+
     # ---------------- scan processing --------------------------------------
     def make_scan(self, t_start: float, xyz: np.ndarray, t_rel: np.ndarray,
                   ring: Optional[np.ndarray] = None) -> Scan:

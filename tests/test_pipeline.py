@@ -169,3 +169,62 @@ def test_state_is_checkpointable(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(outs_a[-1].pose.t), np.asarray(outs_b[-1].pose.t), atol=1e-5
     )
+
+
+def test_vio_aiding_in_degenerate_corridor(rng):
+    """Featureless-corridor handling (SuperLoc alignment risk): with only two
+    parallel walls, x is unobservable and the estimator drifts; feeding an
+    external VIO pose re-anchors it via the absolute-pose prior
+    (reference addAbsolutePoseConstraints, LidarSlam.cpp:285-298)."""
+    import dataclasses as dc
+
+    from superodom_tpu.io.datasets import SimDataset, SimImu, SimScan
+
+    cfg = tiny_config()
+    cfg = dc.replace(cfg, startup_frames=0)
+
+    # corridor world: two walls at y=+-2, no end caps -> x unconstrained
+    n_wall = 6000
+    uv = _np.random.default_rng(1).uniform(-30, 30, size=(n_wall, 2))
+    walls = _np.zeros((n_wall, 3), _np.float32)
+    walls[:, 0] = uv[:, 0]
+    walls[:, 2] = _np.clip(uv[:, 1], -2.5, 2.5)
+    walls[: n_wall // 2, 1] = -2.0
+    walls[n_wall // 2:, 1] = 2.0
+
+    # straight-line trajectory down the corridor
+    n_scans = 20
+    speed = 1.5
+    gt_t = _np.zeros((n_scans, 3), _np.float32)
+    gt_t[:, 0] = _np.arange(n_scans) * 0.1 * speed
+    scans = []
+    g = _np.random.default_rng(2)
+    for i in range(n_scans):
+        vis = walls[_np.abs(walls[:, 0] - gt_t[i, 0]) < 25]
+        sel = vis[g.choice(len(vis), 2500)]
+        body = sel - gt_t[i]
+        body += g.normal(0, 0.005, body.shape)
+        scans.append(SimScan(t_start=i * 0.1, xyz_body=body.astype(_np.float32),
+                             t_rel=_np.sort(g.uniform(0, 0.1, len(body))).astype(_np.float32)))
+
+    runner = OdometryRunner(cfg)
+    drift_run = [
+        runner.process_scan(s.t_start, s.xyz_body, s.t_rel) for s in scans
+    ]
+    # x is unobservable: the no-aiding estimate must NOT track x
+    x_err_noaid = abs(float(drift_run[-1].pose.t[0]) - gt_t[-1, 0])
+    assert x_err_noaid > 0.5, f"corridor was unexpectedly observable ({x_err_noaid})"
+    # degeneracy must be flagged
+    assert any(bool(o.icp.degenerate) for o in drift_run[2:])
+
+    # with VIO aiding: feed ground-truth poses as the external estimate
+    runner2 = OdometryRunner(cfg)
+    outs = []
+    for i, s in enumerate(scans):
+        runner2.set_vio_pose(_np.array([1.0, 0, 0, 0], _np.float32), gt_t[i])
+        outs.append(runner2.process_scan(s.t_start, s.xyz_body, s.t_rel))
+    x_err_aided = abs(float(outs[-1].pose.t[0]) - gt_t[-1, 0])
+    assert x_err_aided < 0.2, f"VIO aiding failed: x err {x_err_aided}"
+    # y stays locked by the walls in both runs
+    assert abs(float(outs[-1].pose.t[1])) < 0.1
+    assert any(int(o.prediction_source) == pl.PRED_VIO_ODOM for o in outs)
