@@ -589,40 +589,67 @@ def icp_register(
             )
         return planes, lines
 
-    def outer(carry, _):
-        pose, converged, _last = carry
+    def outer(carry):
+        pose, converged, it, _corrs, stats_arr = carry
+        t_norms, r_norms, surf_ns, edge_ns = stats_arr
         planes, lines = correspondences(pose)
         new_pose, H, one_step = gauss_newton_solve(
             pose, planes, lines, rt, reg.max_gn_iters, prior,
             use_edges=use_edges,
         )
-        # freeze once converged (mirrors the num_successful_steps==1 break)
+        # freeze once converged (mirrors the num_successful_steps==1 break);
+        # needed for batched (vmapped) execution where the while loop keeps
+        # running until every instance converges
         new_pose = jax.tree_util.tree_map(
             lambda n, o: jnp.where(converged, o, n), new_pose, pose
         )
         rel_t = jnp.linalg.norm(new_pose.t - pose.t)
         dq = quat_mul(quat_conj(pose.q), new_pose.q)
         rel_r = 2.0 * jnp.arctan2(jnp.linalg.norm(dq[1:4]), jnp.abs(dq[0]))
-        it_stats = (
-            rel_t,
-            rel_r,
-            jnp.sum(planes.valid.astype(jnp.int32)),
-            jnp.sum(lines.valid.astype(jnp.int32)),
-            jnp.logical_not(converged),
+        live = jnp.logical_not(converged)
+        idx = jnp.minimum(it, max_it - 1)
+        stats_arr = (
+            t_norms.at[idx].set(jnp.where(live, rel_t, t_norms[idx])),
+            r_norms.at[idx].set(jnp.where(live, rel_r, r_norms[idx])),
+            surf_ns.at[idx].set(
+                jnp.where(live, jnp.sum(planes.valid.astype(jnp.int32)),
+                          surf_ns[idx])
+            ),
+            edge_ns.at[idx].set(
+                jnp.where(live, jnp.sum(lines.valid.astype(jnp.int32)),
+                          edge_ns[idx])
+            ),
         )
         now_converged = converged | one_step | (
             (rel_t < reg.trans_converge_tol) & (rel_r < reg.rot_converge_tol)
         )
-        return (new_pose, now_converged, (planes, lines, H)), it_stats
+        return (new_pose, now_converged, it + live.astype(jnp.int32),
+                (planes, lines, H), stats_arr)
 
-    # run once eagerly to build the carry structure for lax.scan
+    def cond(carry):
+        _pose, converged, it, _corrs, _stats = carry
+        return jnp.logical_not(converged) & (it < max_it)
+
     init_planes, init_lines = correspondences(pose0)
     init_H = jnp.zeros((6, 6), dtype)
-    carry0 = (pose0, jnp.array(False), (init_planes, init_lines, init_H))
-
-    (pose, _, (planes, lines, H)), (t_norms, r_norms, surf_ns, edge_ns, active) = (
-        jax.lax.scan(outer, carry0, None, length=max_it)
+    stats0 = (
+        jnp.zeros((max_it,), dtype),
+        jnp.zeros((max_it,), dtype),
+        jnp.zeros((max_it,), jnp.int32),
+        jnp.zeros((max_it,), jnp.int32),
     )
+    carry0 = (
+        pose0, jnp.array(False), jnp.zeros((), jnp.int32),
+        (init_planes, init_lines, init_H), stats0,
+    )
+
+    # early-exit ICP: the reference breaks when Ceres converges in one step
+    # (LidarSlam.cpp:141-147); a while_loop realizes the same saving instead
+    # of masked full-length iteration
+    pose, _, n_it, (planes, lines, H), (t_norms, r_norms, surf_ns, edge_ns) = (
+        jax.lax.while_loop(cond, outer, carry0)
+    )
+    active = jnp.arange(max_it) < n_it
 
     # alignment risk must measure the LIDAR data alone: remove the absolute-
     # pose prior's (diagonal) information before the covariance analysis,
