@@ -1,68 +1,138 @@
-"""Benchmark: registered scans/sec at OS1-128 density on the attached device.
+"""Benchmark: registered scans/sec on the attached device.
 
-Prints ONE JSON line:
+Default (what the driver runs): OS1-128 density (131k raw points/scan),
+single odometry stream — prints ONE JSON line
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Baseline: the north-star target from BASELINE.md — 200 registered scans/sec
-at OS1-128 density (131k raw points/scan) on one TPU v5e chip.  The
-reference CPU system runs at ~10-30 scans/sec (10 Hz real time, bags
-replayed at 2-3x, BASELINE.md rows 2/8).
+at OS1-128 density on one TPU v5e chip.  The reference CPU system runs at
+~10-30 scans/sec (10 Hz real time, bags replayed at 2-3x, BASELINE.md).
+
+Other BASELINE.json configs:
+  python bench.py vlp16      # config 2: VLP-16 feature registration
+  python bench.py livox      # config 1: Livox mid-360 density
+  python bench.py batch4     # config 5 (scaled to one chip): 4 instances
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
+BASELINE_SCANS_PER_SEC = 200.0  # north-star target (BASELINE.md)
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def _config(name):
     from superodom_tpu.config import (
         ImuConfig,
+        LIVOX_MID360,
         MapConfig,
         OS1_128,
         PipelineConfig,
         RegistrationConfig,
+        VLP_16,
     )
-    from superodom_tpu.io.datasets import BoxWorld, make_dataset
-    from superodom_tpu.runner import OdometryRunner
 
-    cfg = PipelineConfig(
-        sensor=OS1_128,
+    sensor = {"os1": OS1_128, "vlp16": VLP_16, "livox": LIVOX_MID360}[name]
+    return PipelineConfig(
+        sensor=sensor,
         map=MapConfig(),
         registration=RegistrationConfig(),
         imu=ImuConfig(),
         auto_voxel_size=False,
     )
 
-    rng = np.random.default_rng(7)
-    n_scans = 60
-    ds = make_dataset(
+
+def _dataset(cfg, n_scans, seed=7):
+    from superodom_tpu.io.datasets import BoxWorld, make_dataset
+
+    rng = np.random.default_rng(seed)
+    return make_dataset(
         rng,
         n_scans=n_scans,
-        points_per_scan=cfg.sensor.max_points,  # OS1-128 density: 131072 pts
+        points_per_scan=cfg.sensor.max_points,
         world=BoxWorld(half_extent=np.array([40.0, 30.0, 8.0])),
         radius=8.0,
         distortion=True,
     )
 
+
+def bench_single(sensor_name="os1", n_scans=60):
+    from superodom_tpu.runner import OdometryRunner
+
+    cfg = _config(sensor_name)
+    ds = _dataset(cfg, n_scans)
     runner = OdometryRunner(cfg)
     res = runner.run_dataset_chunked(ds, use_imu=True, chunk=10)
+    return {
+        "metric": f"registered_scans_per_sec_{cfg.sensor.name}"
+        + ("_os1_128" if sensor_name == "os1" else ""),
+        "value": round(res.scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(res.scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+    }
 
-    value = res.scans_per_sec
-    baseline = 200.0  # north-star target (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "registered_scans_per_sec_os1_128",
-                "value": round(value, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(value / baseline, 3),
-            }
-        )
+
+def bench_batch(batch=4, n_scans=40):
+    """Aggregate multi-instance replay throughput on one chip (the batched
+    config of BASELINE.json scaled to a single device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superodom_tpu.pipeline import init_state, step
+    from superodom_tpu.runner import OdometryRunner
+
+    cfg = _config("os1")
+    ds = _dataset(cfg, n_scans)
+    runner = OdometryRunner(cfg)
+    for i in range(len(ds.imu.t)):
+        runner.add_imu(ds.imu.t[i], ds.imu.acc[i], ds.imu.gyr[i])
+
+    built = []
+    for s in ds.scans:
+        scan = runner.make_scan(s.t_start, s.xyz_body, s.t_rel)
+        t_end = s.t_start + float(s.t_rel[-1])
+        win, ok = runner._imu_window(s.t_start, t_end)
+        built.append((scan, win, jnp.asarray(ok)))
+
+    bcast = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), t
     )
+    state = bcast(init_state(cfg))
+    vstep = jax.jit(jax.vmap(lambda st, sc, im, av: step(cfg, st, sc, im, av)))
+
+    # warmup
+    sc, im, av = (bcast(built[0][0]), bcast(built[0][1]),
+                  jnp.broadcast_to(built[0][2][None], (batch,)))
+    state_w, _ = vstep(state, sc, im, av)
+    jax.block_until_ready(state_w)
+
+    inputs = [
+        (bcast(b[0]), bcast(b[1]), jnp.broadcast_to(b[2][None], (batch,)))
+        for b in built
+    ]
+    t0 = time.perf_counter()
+    for sc, im, av in inputs:
+        state, _ = vstep(state, sc, im, av)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+    value = batch * n_scans / wall
+    return {
+        "metric": f"aggregate_scans_per_sec_os1_128_x{batch}",
+        "value": round(value, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(value / BASELINE_SCANS_PER_SEC, 3),
+    }
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "os1"
+    if which.startswith("batch"):
+        out = bench_batch(batch=int(which[5:] or 4))
+    else:
+        out = bench_single(which)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
