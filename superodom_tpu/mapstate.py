@@ -142,39 +142,38 @@ def insert(
     n = xyz.shape[0]
     lane_ids = jnp.arange(n, dtype=jnp.int32)
 
-    # --- within-batch voxel thinning at min_dist (keep first per voxel) ----
+    # --- one lexicographic sort by (cell, fine-voxel hash) ------------------
+    # serves both the cell grouping and the within-batch thinning (keep the
+    # first point per fine voxel, the role of the reference's per-block
+    # VoxelGrid refiltering)
     fine = voxel_coords(xyz, jnp.maximum(jnp.asarray(min_dist, xyz.dtype), 1e-6))
-    f1 = jnp.where(mask, hash_coords(fine, 0), _INT_MAX)
-    f2 = jnp.where(mask, hash_coords(fine, 1), _INT_MAX)
-    forder = _composite_sort_order(f1, f2)
-    f1s, f2s = f1[forder], f2[forder]
-    first_of_voxel = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), (f1s[1:] != f1s[:-1]) | (f2s[1:] != f2s[:-1])]
-    )
-    mask = mask & jnp.zeros((n,), dtype=bool).at[forder].set(first_of_voxel)
-
-    # --- group by destination cell -----------------------------------------
+    fine_h = hash_coords(fine, 0)
     packed = pack_cells(voxel_coords(xyz, cfg.cell_size))
-    sort_key = jnp.where(mask, packed, _INT_MAX)
-    order = jnp.argsort(sort_key, stable=True)
+    sk_cell = jnp.where(mask, packed, _INT_MAX)
+    sk_fine = jnp.where(mask, fine_h, _INT_MAX)
+    order = _composite_sort_order(sk_cell, sk_fine)
     xyz_s = xyz[order]
     packed_s = packed[order]
-    mask_s = mask[order]
-    key_s = sort_key[order]
+    key_s = sk_cell[order]
+    fine_s = sk_fine[order]
 
     new_run = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), key_s[1:] != key_s[:-1]]
     )
+    first_of_fine = new_run | jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), fine_s[1:] != fine_s[:-1]]
+    )
+    mask_s = mask[order] & first_of_fine
     seg_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
 
     # --- resolve / allocate slots ------------------------------------------
     slot = lookup_packed(m, packed_s)  # [N] flat or -1
     rep = new_run & mask_s & (slot < 0)
 
-    keys = m.keys
     bucket = _bucket_of(packed_s, nb)
-    pend = rep
-    for _ in range(cfg.n_probes):  # contention rounds within the bucket
+
+    def alloc_round(carry):
+        keys, slot, pend, r = carry
         rows = keys[bucket]  # [N, B]
         match = rows == packed_s[:, None]
         has_match = jnp.any(match, axis=-1)
@@ -198,8 +197,18 @@ def insert(
             keys.reshape(-1).at[upd_idx].set(packed_s, mode="drop").reshape(nb, B)
         )
         slot = jnp.where(won, cand, slot)
-        pend = pend & ~won
-        # bucket full and no match -> candidate dropped after the rounds
+        pend = pend & ~won & has_empty  # bucket full -> drop candidate
+        return keys, slot, pend, r + 1
+
+    def alloc_cond(carry):
+        _keys, _slot, pend, r = carry
+        # in steady state almost every cell already exists (slot found by
+        # lookup), so the contention rounds usually don't run at all
+        return jnp.any(pend) & (r < cfg.n_probes)
+
+    keys, slot, _, _ = jax.lax.while_loop(
+        alloc_cond, alloc_round, (m.keys, slot, rep, jnp.zeros((), jnp.int32))
+    )
 
     seg_slot = jax.ops.segment_max(
         jnp.where(new_run, slot, -1), seg_id, num_segments=n
