@@ -35,6 +35,9 @@ def main(argv=None):
                     help="localization mode against a prior map PCD")
     ap.add_argument("--init-pose", nargs=6, type=float, metavar="V",
                     help="x y z roll pitch yaw for localization init")
+    ap.add_argument("--init-pose-file", metavar="TXT",
+                    help="read the localization init pose from a pose file "
+                         "(reference read_pose_file / start_pose.txt flow)")
     ap.add_argument("--save-map", metavar="PCD",
                     help="export the final surf map as a PCD")
     ap.add_argument("--checkpoint", metavar="NPZ",
@@ -56,7 +59,13 @@ def main(argv=None):
     else:
         cfg = PipelineConfig(sensor=profile_by_name(args.profile))
     if args.localize:
-        init = tuple(args.init_pose or [0.0] * 6)
+        if args.init_pose_file:
+            from superodom_tpu.io.pcd import read_pose_file
+
+            rec = read_pose_file(args.init_pose_file)[0]
+            init = (rec.x, rec.y, rec.z, rec.roll, rec.pitch, rec.yaw)
+        else:
+            init = tuple(args.init_pose or [0.0] * 6)
         cfg = dataclasses.replace(
             cfg,
             localization=LocalizationConfig(
