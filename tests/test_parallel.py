@@ -102,3 +102,29 @@ def test_graft_entry_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+@needs_8
+def test_64_instances_on_virtual_slice():
+    """The BASELINE.json batched config: 64 independent odometry instances
+    sharded over the mesh (8 per data shard here), tiny per-instance maps so
+    the test stays light."""
+    import dataclasses
+
+    from superodom_tpu.config import MapConfig
+    from superodom_tpu.parallel import batched_init_state
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, map=MapConfig(cell_size=2.0, table_size=1 << 10, bucket_size=8,
+                           cell_capacity=16, n_probes=2))
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    state, scan, imu, avail = _inputs(cfg, batch=64)
+    step_fn, shard_state = make_batched_step(cfg, mesh)
+    state = shard_state(state)
+    state, out = step_fn(state, scan, imu, avail)
+    state, out = step_fn(state, scan, imu, avail)
+    jax.block_until_ready(state)
+    assert out.pose.t.shape == (64, 3)
+    assert np.isfinite(np.asarray(out.pose.t)).all()
+    assert int(np.asarray(out.surf_map_num).min()) > 0
