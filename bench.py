@@ -38,7 +38,7 @@ def _config(name):
     return PipelineConfig(
         sensor=sensor,
         map=MapConfig(),
-        registration=RegistrationConfig(use_pallas_select=True),
+        registration=RegistrationConfig(),
         imu=ImuConfig(),
         auto_voxel_size=False,
     )
