@@ -157,7 +157,7 @@ class ImuConfig:
     imu_rate: float = 200.0
     max_imu_per_scan: int = 64  # static window: samples between two scans
     window_size: int = 8  # sliding smoother window (states)
-    smoother_gn_iters: int = 4
+    smoother_gn_iters: int = 3
     # failure gates (imuPreintegration.cpp:398-417)
     max_velocity: float = 30.0
     max_acc_bias: float = 2.0

@@ -461,7 +461,7 @@ def gauss_newton_solve(
 ):
     """Fixed-count damped Gauss-Newton on SE(3) with IRLS robust weights —
     the stand-in for ceres::Solve (DENSE_QR, max 4 iterations,
-    LidarSlam.cpp:230-240).  Returns (pose, H_final, converged_in_one)."""
+    LidarSlam.cpp:230-240).  Returns (pose, converged_in_one)."""
 
     def body(carry, _):
         p, first_step_small = carry
@@ -477,9 +477,7 @@ def gauss_newton_solve(
     (pose_out, _), steps = jax.lax.scan(
         body, (pose, jnp.array(False)), None, length=n_iters
     )
-    H_final, _, _ = _accumulate_normal_system(pose_out, planes, edges, rt,
-                                              prior, use_edges)
-    return pose_out, H_final, steps[0]
+    return pose_out, steps[0]
 
 
 # ---------------------------------------------------------------------------
@@ -602,7 +600,7 @@ def icp_register(
         pose, converged, it, _corrs, stats_arr = carry
         t_norms, r_norms, surf_ns, edge_ns = stats_arr
         planes, lines = correspondences(pose)
-        new_pose, H, one_step = gauss_newton_solve(
+        new_pose, one_step = gauss_newton_solve(
             pose, planes, lines, rt, reg.max_gn_iters, prior,
             use_edges=use_edges,
         )
@@ -633,14 +631,13 @@ def icp_register(
             (rel_t < reg.trans_converge_tol) & (rel_r < reg.rot_converge_tol)
         )
         return (new_pose, now_converged, it + live.astype(jnp.int32),
-                (planes, lines, H), stats_arr)
+                (planes, lines), stats_arr)
 
     def cond(carry):
         _pose, converged, it, _corrs, _stats = carry
         return jnp.logical_not(converged) & (it < max_it)
 
     init_planes, init_lines = correspondences(pose0)
-    init_H = jnp.zeros((6, 6), dtype)
     stats0 = (
         jnp.zeros((max_it,), dtype),
         jnp.zeros((max_it,), dtype),
@@ -649,16 +646,20 @@ def icp_register(
     )
     carry0 = (
         pose0, jnp.array(False), jnp.zeros((), jnp.int32),
-        (init_planes, init_lines, init_H), stats0,
+        (init_planes, init_lines), stats0,
     )
 
     # early-exit ICP: the reference breaks when Ceres converges in one step
     # (LidarSlam.cpp:141-147); a while_loop realizes the same saving instead
     # of masked full-length iteration
-    pose, _, n_it, (planes, lines, H), (t_norms, r_norms, surf_ns, edge_ns) = (
+    pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = (
         jax.lax.while_loop(cond, outer, carry0)
     )
     active = jnp.arange(max_it) < n_it
+    # one H evaluation at the final pose (the reference computes covariance
+    # once, from the final problem, LidarSlam.cpp:141-147)
+    H, _, _ = _accumulate_normal_system(pose, planes, lines, rt, prior,
+                                        use_edges)
 
     # alignment risk must measure the LIDAR data alone: remove the absolute-
     # pose prior's (diagonal) information before the covariance analysis,

@@ -226,7 +226,7 @@ def test_pose_prior_pulls_solution(rng):
     edges = reg.EdgeCorrs(
         p_body=jnp.zeros((n, 3)), a=jnp.zeros((n, 3)), b=jnp.ones((n, 3)),
         coeff=jnp.zeros(n), valid=jnp.zeros(n, bool), code=jnp.zeros(n, jnp.int32))
-    pose, _, _ = reg.gauss_newton_solve(
+    pose, _ = reg.gauss_newton_solve(
         geo.Pose.identity(), planes, edges, RT, 8, prior)
     np.testing.assert_allclose(np.asarray(pose.t), [1, 2, 3], atol=1e-2)
     dq = geo.quat_mul(geo.quat_conj(target.q), pose.q)
