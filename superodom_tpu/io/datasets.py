@@ -151,11 +151,12 @@ def make_dataset(
     radius: float = 6.0,
     distortion: bool = True,
     static_scans: int = 15,
+    laps: float = 1.0,
 ) -> SimDataset:
     """Simulate a full LiDAR+IMU sequence along a closed circular loop."""
     world = world or BoxWorld()
     times, q_traj, p_traj = circle_trajectory(
-        n_scans, radius, scan_period, static_scans=static_scans
+        n_scans, radius, scan_period, static_scans=static_scans, laps=laps
     )
 
     # dense pose sampling for IMU + per-point interpolation
