@@ -48,12 +48,15 @@ def _dataset(cfg, n_scans, seed=7):
     from superodom_tpu.io.datasets import BoxWorld, make_dataset
 
     rng = np.random.default_rng(seed)
+    # realistic platform dynamics (~3.5 m/s, ~0.7 rad/s) so the benchmark
+    # measures throughput of a TRACKING estimator, not a diverged one
     return make_dataset(
         rng,
         n_scans=n_scans,
         points_per_scan=cfg.sensor.max_points,
         world=BoxWorld(half_extent=np.array([40.0, 30.0, 8.0])),
-        radius=8.0,
+        radius=5.0,
+        laps=0.5,
         distortion=True,
     )
 
