@@ -234,15 +234,37 @@ class OdometryRunner:
             smoothed_t.append(np.asarray(out.smoothed_pose.t))
             stats.append(
                 {
+                    # the full OptimizationStats surface (OptimizationStats.msg)
                     "i": i,
                     "t": float(s.t_start),
                     "surf_stack": int(out.surf_stack_num),
+                    "edge_stack": int(out.edge_stack_num),
                     "surf_map": int(out.surf_map_num),
+                    "edge_map": int(out.edge_map_num),
                     "pred_source": int(out.prediction_source),
                     "n_iterations": int(out.icp.n_iterations),
                     "uncertainty": np.asarray(out.icp.uncertainty).tolist(),
                     "degenerate": bool(out.icp.degenerate),
                     "imu_healthy": bool(out.imu_healthy),
+                    "translation_from_last": float(out.translation_from_last),
+                    "rotation_from_last": float(out.rotation_from_last),
+                    "total_translation": float(out.total_translation),
+                    "total_rotation": float(out.total_rotation),
+                    "average_distance": float(out.average_distance),
+                    "motion_accepted": bool(out.motion_accepted),
+                    "plane_rejection_hist": np.asarray(
+                        out.icp.plane_rejection_hist).tolist(),
+                    "iterations": [
+                        {
+                            "translation_norm": float(out.icp.iter_trans_norm[k]),
+                            "rotation_norm": float(out.icp.iter_rot_norm[k]),
+                            "num_surf_from_scan": int(out.icp.iter_surf_num[k]),
+                            "num_corner_from_scan": int(out.icp.iter_edge_num[k]),
+                        }
+                        for k in range(len(np.asarray(out.icp.iter_trans_norm)))
+                    ],
+                    "acc_bias": np.asarray(out.acc_bias).tolist(),
+                    "gyr_bias": np.asarray(out.gyr_bias).tolist(),
                 }
             )
         jax.block_until_ready(self.state)
