@@ -103,24 +103,45 @@ def bench_batch(batch=4, n_scans=40):
         lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), t
     )
     state = bcast(init_state(cfg))
-    vstep = jax.jit(jax.vmap(lambda st, sc, im, av: step(cfg, st, sc, im, av)))
+    vstep = jax.vmap(lambda st, sc, im, av: step(cfg, st, sc, im, av))
 
-    # warmup
-    sc, im, av = (bcast(built[0][0]), bcast(built[0][1]),
-                  jnp.broadcast_to(built[0][2][None], (batch,)))
-    state_w, _ = vstep(state, sc, im, av)
+    @jax.jit
+    def chunk_fn(state, scans, imus, avails):
+        def body(st, inp):
+            st, out = vstep(st, *inp)
+            return st, out.pose.t
+
+        return jax.lax.scan(body, state, (scans, imus, avails))
+
+    chunk = 10
+    n_chunks = n_scans // chunk
+    # device-resident, chunked, batch-broadcast inputs (see
+    # run_dataset_chunked for why transfers stay out of the timed loop)
+    stack = lambda items: jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *items)
+    dev_inputs = []
+    for c in range(n_chunks):
+        b = built[c * chunk:(c + 1) * chunk]
+        dev_inputs.append(jax.device_put((
+            bcast(stack([x[0] for x in b])),
+            bcast(stack([x[1] for x in b])),
+            bcast(jnp.stack([x[2] for x in b])),
+        )))
+    # NOTE: bcast puts batch first; scan wants chunk first — swap axes
+    dev_inputs = [
+        jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), t)
+        for t in dev_inputs
+    ]
+
+    state_w, _ = chunk_fn(state, *dev_inputs[0])
     jax.block_until_ready(state_w)
 
-    inputs = [
-        (bcast(b[0]), bcast(b[1]), jnp.broadcast_to(b[2][None], (batch,)))
-        for b in built
-    ]
     t0 = time.perf_counter()
-    for sc, im, av in inputs:
-        state, _ = vstep(state, sc, im, av)
+    for inp in dev_inputs:
+        state, _ = chunk_fn(state, *inp)
     jax.block_until_ready(state)
     wall = time.perf_counter() - t0
-    value = batch * n_scans / wall
+    value = batch * n_chunks * chunk / wall
     return {
         "metric": f"aggregate_scans_per_sec_os1_128_x{batch}",
         "value": round(value, 2),
