@@ -165,6 +165,46 @@ def undistort_points(
     return out, q_w_original_l, t_w_original_l
 
 
+def undistort_points_posed(
+    xyz: jnp.ndarray,
+    t_rel: jnp.ndarray,
+    mask: jnp.ndarray,
+    t_start,
+    path_t: jnp.ndarray,
+    path_q: jnp.ndarray,
+    path_p: jnp.ndarray,
+    path_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Undistortion against a full 6-DoF pose path (rotation AND
+    translation), e.g. external visual-inertial odometry — the
+    removePointDistortion<Odometry> path of the reference
+    (featureExtraction.cpp:236-249,462-468).  The path is given in the lidar
+    frame; points are re-expressed in the scan-start lidar frame:
+    p' = T_start^-1 * T(t_point) * p.
+
+    Returns (undistorted xyz, q_w_original, t_w_original).
+    """
+    t_start = jnp.asarray(t_start, xyz.dtype)
+    win = ImuWindow(t=path_t, acc=jnp.zeros_like(path_p),
+                    gyr=jnp.zeros_like(path_p), q=path_q, mask=path_mask)
+    start = _interp_pose_at(win, path_p, t_start[None])
+    start_pose = Pose(start.q[0], start.t[0])
+
+    pt_pose = _interp_pose_at(win, path_p, t_start + t_rel)
+    rel_q = quat_mul(
+        jnp.broadcast_to(
+            quat_normalize(start_pose.q * jnp.array([1, -1, -1, -1], xyz.dtype)),
+            pt_pose.q.shape,
+        ),
+        pt_pose.q,
+    )
+    inv_q = quat_normalize(start_pose.q * jnp.array([1, -1, -1, -1], xyz.dtype))
+    rel_t = quat_rotate(inv_q[None, :], pt_pose.t - start_pose.t[None, :])
+    out = quat_rotate(rel_q, xyz) + rel_t
+    out = jnp.where(mask[:, None], out, xyz)
+    return out, start_pose.q, start_pose.t
+
+
 def undistort_scan(
     scan: Scan,
     imu: ImuWindow,

@@ -153,3 +153,33 @@ def test_curvature_edge_extraction():
     assert em[29:35].any()
     # flat interior not flagged
     assert not em[10:25].any()
+
+
+def test_undistort_posed_path():
+    """Full 6-DoF (VIO-style) undistortion: points sampled while the sensor
+    both rotates and translates map back to the scan-start frame."""
+    m = 16
+    t_path = np.arange(m, dtype=np.float32) * 0.02
+    w = 0.6
+    v = np.array([1.0, 0.5, 0.0], np.float32)  # m/s
+    qs = np.stack([np.asarray(geo.so3_exp(jnp.asarray([0, 0, w * t], jnp.float32)))
+                   for t in t_path])
+    ps = t_path[:, None] * v[None, :]
+
+    p_w = np.array([[3.0, 1.0, 0.5], [2.0, -1.0, 0.0]], np.float32)
+    t_rel = np.array([0.05, 0.22], np.float32)
+    body = []
+    for p, t in zip(p_w, t_rel):
+        q = np.asarray(geo.so3_exp(jnp.asarray([0, 0, w * t], jnp.float32)))
+        R = np.asarray(geo.quat_to_matrix(jnp.asarray(q)))
+        body.append(R.T @ (p - t * v))
+    body = np.stack(body)
+
+    out, q0, t0 = fe.undistort_points_posed(
+        jnp.asarray(body), jnp.asarray(t_rel), jnp.ones(2, bool),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(t_path), jnp.asarray(qs, jnp.float32),
+        jnp.asarray(ps, jnp.float32), jnp.ones(m, bool))
+    # scan-start pose is identity -> output == world coords
+    np.testing.assert_allclose(np.asarray(out), p_w, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(t0), 0.0, atol=1e-5)
