@@ -10,7 +10,6 @@ resume is exact (see tests/test_pipeline.py::test_state_is_checkpointable).
 from __future__ import annotations
 
 import json
-import os
 
 import jax
 import jax.numpy as jnp

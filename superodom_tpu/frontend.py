@@ -17,14 +17,13 @@ import jax.numpy as jnp
 
 from superodom_tpu.geometry import (
     Pose,
-    quat_identity,
     quat_mul,
     quat_normalize,
     quat_rotate,
     quat_slerp,
     so3_exp,
 )
-from superodom_tpu.ops.voxel import compact_masked, uniform_stride_mask
+from superodom_tpu.ops.voxel import uniform_stride_mask
 
 
 class Scan(NamedTuple):

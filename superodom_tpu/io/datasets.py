@@ -11,7 +11,7 @@ reference's save_benchmark_result.py (10 cm return-to-origin pass/fail).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 

@@ -33,7 +33,7 @@ All shapes are static; the entire map lives on device as a pytree.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

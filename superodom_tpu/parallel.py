@@ -12,8 +12,6 @@ count scale beyond one chip's HBM).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ static shapes.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,6 @@ from superodom_tpu.geometry import (
 )
 from superodom_tpu.inertial import (
     SmootherState,
-    propagate_high_rate,
     smoother_init,
     smoother_update,
 )

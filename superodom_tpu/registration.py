@@ -41,10 +41,9 @@ from superodom_tpu.geometry import (
 from superodom_tpu.mapstate import (
     VoxelHashMap,
     gather_candidates,
-    query_knn,
     select_knn,
 )
-from superodom_tpu.ops.eigh3 import eigh3, solve3
+from superodom_tpu.ops.eigh3 import eigh3
 from superodom_tpu.ops.pallas_knn import select_knn_pallas
 
 # MatchingResult codes (reference LidarSlam.h:85-94)

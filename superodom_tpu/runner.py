@@ -24,7 +24,6 @@ import numpy as np
 from superodom_tpu.config import PipelineConfig
 from superodom_tpu.frontend import ImuWindow, Scan
 from superodom_tpu.pipeline import (
-    OdomState,
     StepOutput,
     init_state,
     make_chunked_step_fn,
