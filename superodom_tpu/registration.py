@@ -596,9 +596,11 @@ def icp_register(
         return planes, lines
 
     def outer(carry):
-        pose, converged, it, _corrs, stats_arr = carry
+        # loop rotation: solve with the carried correspondences (computed at
+        # this carry's pose), then extract fresh ones at the updated pose for
+        # the next round — avoids evaluating correspondences twice per pose
+        pose, converged, it, (planes, lines), stats_arr = carry
         t_norms, r_norms, surf_ns, edge_ns = stats_arr
-        planes, lines = correspondences(pose)
         new_pose, one_step = gauss_newton_solve(
             pose, planes, lines, rt, reg.max_gn_iters, prior,
             use_edges=use_edges,
@@ -629,8 +631,9 @@ def icp_register(
         now_converged = converged | one_step | (
             (rel_t < reg.trans_converge_tol) & (rel_r < reg.rot_converge_tol)
         )
+        new_corrs = correspondences(new_pose)
         return (new_pose, now_converged, it + live.astype(jnp.int32),
-                (planes, lines), stats_arr)
+                new_corrs, stats_arr)
 
     def cond(carry):
         _pose, converged, it, _corrs, _stats = carry

@@ -75,6 +75,8 @@ class OdometryRunner:
         self.dtype = dtype
         self.step_fn = make_step_fn(cfg)
         self._chunk_fn = None  # built lazily by run_dataset_chunked
+        self._hr_fn = None  # built lazily by high_rate_states
+        self._last_window = None
         self.state = init_state(cfg, dtype)
         self._imu_t: list = []
         self._imu_acc: list = []
@@ -205,7 +207,35 @@ class OdometryRunner:
         self.state, out = self.step_fn(
             self.state, scan, window, jnp.asarray(synced)
         )
+        self._last_window = window
         return out
+
+    def high_rate_states(self):
+        """IMU-rate (~200 Hz) odometry between the last two scans: the
+        smoothed latest state propagated through the most recent IMU window
+        with current bias estimates (the reference's ~200 Hz
+        state_estimation output, imuPreintegration.cpp:544-570).
+
+        Returns (times, poses_q [n,4], poses_t [n,3], velocities [n,3]).
+        """
+        from superodom_tpu.inertial import propagate_high_rate
+
+        if getattr(self, "_last_window", None) is None:
+            raise RuntimeError("no scan processed yet")
+        if self._hr_fn is None:
+            import jax as _jax
+
+            self._hr_fn = _jax.jit(
+                lambda sm, win: propagate_high_rate(sm, self.cfg.imu, win)
+            )
+        poses, vels, mask = self._hr_fn(self.state.smoother, self._last_window)
+        m = np.asarray(mask)
+        return (
+            np.asarray(self._last_window.t)[m],
+            np.asarray(poses.q)[m],
+            np.asarray(poses.t)[m],
+            np.asarray(vels)[m],
+        )
 
     # ---------------- dataset replay ---------------------------------------
     def run_dataset(self, dataset, use_imu: bool = True, log_path: Optional[str] = None,

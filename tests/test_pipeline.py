@@ -228,3 +228,26 @@ def test_vio_aiding_in_degenerate_corridor(rng):
     # y stays locked by the walls in both runs
     assert abs(float(outs[-1].pose.t[1])) < 0.1
     assert any(int(o.prediction_source) == pl.PRED_VIO_ODOM for o in outs)
+
+
+def test_high_rate_output(rng):
+    """IMU-rate odometry output between scans (reference ~200 Hz
+    state_estimation, published every 4th sample at ~50 Hz)."""
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=25, points_per_scan=2000, radius=1.2,
+                      world=small_world())
+    runner = OdometryRunner(cfg)
+    res_imu_i = 0
+    imu = ds.imu
+    for s in ds.scans:
+        t_end = s.t_start + float(s.t_rel[-1])
+        while res_imu_i < len(imu.t) and imu.t[res_imu_i] <= t_end + 0.02:
+            runner.add_imu(imu.t[res_imu_i], imu.acc[res_imu_i],
+                           imu.gyr[res_imu_i])
+            res_imu_i += 1
+        out = runner.process_scan(s.t_start, s.xyz_body, s.t_rel)
+    ts, qs, ps, vs = runner.high_rate_states()
+    assert len(ts) >= 10  # ~20 samples per 0.1 s window at 200 Hz
+    assert np.isfinite(ps).all() and np.isfinite(vs).all()
+    # the propagated path starts near the latest smoothed pose
+    assert np.linalg.norm(ps[0] - np.asarray(out.smoothed_pose.t)) < 0.5
