@@ -489,4 +489,7 @@ def make_chunked_step_fn(cfg: PipelineConfig):
 
         return jax.lax.scan(body, state, (scans, imus, avails))
 
+    # NOTE: donating the state is tempting (maps are tens of MB) but state
+    # leaves legally alias (pose_prev shares pose's buffer after a rollback),
+    # which donation rejects; the per-chunk copy is negligible at chunk>=10.
     return jax.jit(_chunk)
