@@ -67,7 +67,7 @@ def bench_single(sensor_name="os1", n_scans=60):
     cfg = _config(sensor_name)
     ds = _dataset(cfg, n_scans)
     runner = OdometryRunner(cfg)
-    res = runner.run_dataset_chunked(ds, use_imu=True, chunk=20)
+    res = runner.run_dataset_chunked(ds, use_imu=True, chunk=n_scans)
     return {
         "metric": f"registered_scans_per_sec_{cfg.sensor.name}"
         + ("_os1_128" if sensor_name == "os1" else ""),
