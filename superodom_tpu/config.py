@@ -156,7 +156,9 @@ class ImuConfig:
     lidar_correction_noise: float = 0.01
     imu_rate: float = 200.0
     max_imu_per_scan: int = 64  # static window: samples between two scans
-    window_size: int = 8  # sliding smoother window (states)
+    window_size: int = 6  # sliding smoother window (states); the
+    # sigma=0.01 per-key pose priors make states beyond ~6 keys inert, and
+    # the dense jacfwd solve scales with (15*W)^2
     smoother_gn_iters: int = 3
     # failure gates (imuPreintegration.cpp:398-417)
     max_velocity: float = 30.0
