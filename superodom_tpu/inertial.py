@@ -341,27 +341,84 @@ def smoother_update(
 
     pair_valid = (st.valid[:-1] & st.valid[1:]).astype(dtype)
 
+    pre_pairs = jax.tree_util.tree_map(lambda a: a[1:], st.preint)
+
     def gn_iter(carry, _):
         q_c, p_c, v_c, ba_c, bg_c = carry
 
-        def res_at(delta_flat):
-            delta = delta_flat.reshape(W, 15)
-            q = quat_normalize(quat_mul(q_c, so3_exp(delta[:, 0:3])))
-            p = p_c + delta[:, 3:6]
-            v = v_c + delta[:, 6:9]
-            ba = ba_c + delta[:, 9:12]
-            bg = bg_c + delta[:, 12:15]
-            return _window_residuals(
-                q, p, v, ba, bg, st, meas_q, meas_p, prior_w,
-                sig_vq, sig_vv, w_bias_a, w_bias_g, pair_valid,
-                gravity_w, W,
-            )
+        # ---- block-sparse normal equations -----------------------------
+        # The factor graph couples each state only to its priors (block
+        # diagonal) and its successor (block tridiagonal).  Differentiating
+        # per-factor (15- and 30-wide tangents, vmapped over lanes) instead
+        # of one (15*W)-wide jacfwd over the whole window cuts the dominant
+        # smoother cost ~3x; H is assembled from the blocks.
 
-        delta0 = jnp.zeros((W * 15,), dtype)
-        r0 = res_at(delta0)
-        J = jax.jacfwd(res_at)(delta0)
-        H = J.T @ J
-        g = J.T @ r0
+        def prior_res(delta15, q0, p0, mq, mp, w):
+            q = quat_normalize(quat_mul(q0, so3_exp(delta15[0:3])))
+            p = p0 + delta15[3:6]
+            r_q = so3_log(quat_mul(quat_conj(mq), q)) * w
+            r_p = (p - mp) * w
+            return jnp.concatenate([r_q, r_p])  # [6]
+
+        def pair_res(delta30, xi, xj, pre_i, wpair, wba, wbg):
+            qi0, pi0, vi0, bai0, bgi0 = xi
+            qj0, pj0, vj0, _baj0, _bgj0 = xj
+            di, dj = delta30[:15], delta30[15:]
+            qi = quat_normalize(quat_mul(qi0, so3_exp(di[0:3])))
+            pi = pi0 + di[3:6]
+            vi = vi0 + di[6:9]
+            bai = bai0 + di[9:12]
+            bgi = bgi0 + di[12:15]
+            qj = quat_normalize(quat_mul(qj0, so3_exp(dj[0:3])))
+            pj = pj0 + dj[3:6]
+            vj = vj0 + dj[6:9]
+            baj = _baj0 + dj[9:12]
+            bgj = _bgj0 + dj[12:15]
+            r_q, r_v, r_p = _imu_residuals(
+                qi, pi, vi, bai, bgi, qj, pj, vj, pre_i, gravity_w
+            )
+            return jnp.concatenate([
+                r_q * sig_vq * wpair,
+                r_v * sig_vv * wpair,
+                r_p * sig_vv * wpair,
+                (baj - bai) * (wba * wpair),
+                (bgj - bgi) * (wbg * wpair),
+            ])  # [15]
+
+        z15 = jnp.zeros((15,), dtype)
+        z30 = jnp.zeros((30,), dtype)
+
+        pr_fn = lambda d, q0, p0, mq, mp, w: prior_res(d, q0, p0, mq, mp, w)
+        r_pr, J_pr = jax.vmap(
+            lambda q0, p0, mq, mp, w: (
+                pr_fn(z15, q0, p0, mq, mp, w),
+                jax.jacfwd(pr_fn)(z15, q0, p0, mq, mp, w),
+            )
+        )(q_c, p_c, meas_q, meas_p, prior_w)  # [W,6], [W,6,15]
+
+        xi = (q_c[:-1], p_c[:-1], v_c[:-1], ba_c[:-1], bg_c[:-1])
+        xj = (q_c[1:], p_c[1:], v_c[1:], ba_c[1:], bg_c[1:])
+        r_pair, J_pair = jax.vmap(
+            lambda xi_, xj_, pre_, wp, wa, wg: (
+                pair_res(z30, xi_, xj_, pre_, wp, wa, wg),
+                jax.jacfwd(pair_res)(z30, xi_, xj_, pre_, wp, wa, wg),
+            )
+        )(xi, xj, pre_pairs, pair_valid, w_bias_a[1:], w_bias_g[1:])
+        # r_pair [W-1,15], J_pair [W-1,15,30]
+
+        H = jnp.zeros((W * 15, W * 15), dtype)
+        g = jnp.zeros((W * 15,), dtype)
+        Hp = jnp.einsum("wri,wrj->wij", J_pr, J_pr)  # [W,15,15]
+        gp = jnp.einsum("wri,wr->wi", J_pr, r_pr)
+        for i in range(W):  # static unroll, W is small
+            H = H.at[i * 15:(i + 1) * 15, i * 15:(i + 1) * 15].add(Hp[i])
+            g = g.at[i * 15:(i + 1) * 15].add(gp[i])
+        Hq = jnp.einsum("wri,wrj->wij", J_pair, J_pair)  # [W-1,30,30]
+        gq = jnp.einsum("wri,wr->wi", J_pair, r_pair)
+        for i in range(W - 1):
+            sl = slice(i * 15, i * 15 + 30)
+            H = H.at[sl, sl].add(Hq[i])
+            g = g.at[sl].add(gq[i])
         # Jacobi preconditioning: the bias random-walk weights
         # (1/acc_w ~ 1e4, squared in H) give H a ~1e8 condition number,
         # which an f32 solve cannot survive; rescale to unit diagonal.
@@ -416,33 +473,6 @@ def smoother_update(
         failed=failed,
     )
     return out, Pose(out.q[-1], out.p[-1])
-
-
-def _window_residuals(q, p, v, ba, bg, st, meas_q, meas_p, prior_w,
-                      sig_vq, sig_vv, w_bias_a, w_bias_g, pair_valid,
-                      gravity_w, W):
-    res = [
-        (jax.vmap(lambda a, b: so3_log(quat_mul(quat_conj(b), a)))(q, meas_q)
-         * prior_w[:, None]).reshape(-1),
-        ((p - meas_p) * prior_w[:, None]).reshape(-1),
-    ]
-
-    def one(i):
-        pre_i = jax.tree_util.tree_map(lambda a: a[i + 1], st.preint)
-        r_q, r_v, r_p = _imu_residuals(
-            q[i], p[i], v[i], ba[i], bg[i],
-            q[i + 1], p[i + 1], v[i + 1], pre_i,
-            gravity_w,
-        )
-        w = pair_valid[i]
-        return jnp.concatenate([r_q * sig_vq * w, r_v * sig_vv * w, r_p * sig_vv * w])
-
-    res.append(jax.vmap(one)(jnp.arange(W - 1)).reshape(-1))
-    r_ba = (ba[1:] - ba[:-1]) * (w_bias_a[1:] * pair_valid)[:, None]
-    r_bg = (bg[1:] - bg[:-1]) * (w_bias_g[1:] * pair_valid)[:, None]
-    res.append(r_ba.reshape(-1))
-    res.append(r_bg.reshape(-1))
-    return jnp.concatenate(res)
 
 
 def propagate_high_rate(
