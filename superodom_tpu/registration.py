@@ -462,29 +462,24 @@ def gauss_newton_solve(
     the stand-in for ceres::Solve (DENSE_QR, max 4 iterations,
     LidarSlam.cpp:230-240).  Returns (pose, converged_in_one)."""
 
-    def body(carry):
-        p, i, last_step, first_small = carry
+    # NOTE: a while_loop with an early-exit condition was measured ~13%
+    # SLOWER end-to-end here — nesting it inside the outer ICP while_loop
+    # defeats XLA's loop pipelining.  The fixed-length scan wins.
+    def body(carry, _):
+        p, first_step_small = carry
         H, g, _ = _accumulate_normal_system(p, planes, edges, rt, prior,
                                             use_edges)
         Hd = H + damping * jnp.eye(6, dtype=g.dtype) * (1.0 + jnp.diag(H))
         delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), g)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         p_new = apply_se3_update(p, delta)
-        step_norm = jnp.linalg.norm(delta)
-        first_small = jnp.where(i == 0, step_norm < 1e-6, first_small)
-        return (p_new, i + 1, step_norm, first_small)
+        step_small = jnp.linalg.norm(delta) < 1e-6
+        return (p_new, first_step_small), step_small
 
-    def cond(carry):
-        _p, i, last_step, _fs = carry
-        # early exit once the Newton step stalls (the role of Ceres's own
-        # internal convergence test within its <=4 iterations)
-        return (i < n_iters) & (last_step > 1e-6)
-
-    pose_out, _, _, first_small = jax.lax.while_loop(
-        cond, body, (pose, jnp.zeros((), jnp.int32),
-                     jnp.asarray(jnp.inf, pose.t.dtype), jnp.array(False))
+    (pose_out, _), steps = jax.lax.scan(
+        body, (pose, jnp.array(False)), None, length=n_iters
     )
-    return pose_out, first_small
+    return pose_out, steps[0]
 
 
 # ---------------------------------------------------------------------------
