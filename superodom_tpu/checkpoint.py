@@ -21,8 +21,15 @@ from superodom_tpu.config import PipelineConfig
 _META = "superodom_state_meta"
 
 
+def _norm_path(path: str) -> str:
+    """np.savez appends '.npz' to suffix-less paths; normalize so save/load
+    agree on the final filename."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: OdomState) -> None:
     """Serialize an OdomState to an .npz archive."""
+    path = _norm_path(path)
     flat, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i:04d}": np.asarray(x) for i, x in enumerate(flat)}
     arrays[_META] = np.frombuffer(
@@ -36,7 +43,7 @@ def load_state(path: str, cfg: PipelineConfig) -> OdomState:
     so the config must match the one the state was saved under."""
     template = init_state(cfg)
     _, treedef = jax.tree_util.tree_flatten(template)
-    data = np.load(path)
+    data = np.load(_norm_path(path))
     meta = json.loads(bytes(data[_META]).decode())
     leaves = [jnp.asarray(data[f"leaf_{i:04d}"]) for i in range(meta["n_leaves"])]
     return jax.tree_util.tree_unflatten(treedef, leaves)

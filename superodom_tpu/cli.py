@@ -28,6 +28,12 @@ def main(argv=None):
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic scans (no dataset file needed)")
     ap.add_argument("--npz", help="replay a dataset .npz (scans+imu arrays)")
+    ap.add_argument("--bag", help="replay a rosbag2 recording "
+                                  "(.db3 file or bag directory)")
+    ap.add_argument("--lidar-topic", help="point cloud topic in --bag")
+    ap.add_argument("--imu-topic", help="IMU topic in --bag")
+    ap.add_argument("--max-scans", type=int,
+                    help="cap the number of scans replayed from --bag")
     ap.add_argument("--no-imu", action="store_true")
     ap.add_argument("--chunked", action="store_true",
                     help="high-throughput lax.scan replay")
@@ -96,8 +102,16 @@ def main(argv=None):
     elif args.npz:
         ds = _load_npz_dataset(args.npz)
         gt = None
+    elif args.bag:
+        from superodom_tpu.io.rosbag import load_bag_dataset
+
+        ds = load_bag_dataset(
+            args.bag, lidar_topic=args.lidar_topic, imu_topic=args.imu_topic,
+            n_scan_lines=cfg.sensor.n_scan_lines, max_scans=args.max_scans,
+        )
+        gt = None
     else:
-        ap.error("one of --synthetic / --npz is required")
+        ap.error("one of --synthetic / --npz / --bag is required")
 
     os.makedirs(args.out, exist_ok=True)
     if args.chunked:

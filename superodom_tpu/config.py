@@ -164,7 +164,9 @@ class ImuConfig:
     max_velocity: float = 30.0
     max_acc_bias: float = 2.0
     max_gyr_bias: float = 1.0
-    reset_after_keys: int = 100  # graph reset horizon (imuPreintegration.cpp:372)
+    # NOTE: the reference's graph reset at key>100 (imuPreintegration.cpp:372)
+    # has no knob here — the fixed-lag window IS the reset horizon (states
+    # fall off the window after `window_size` keys; see PARITY.md row 6).
     init_window_sec: float = 1.0  # IMU static init duration (imu_data.h:71-160)
 
 
@@ -174,7 +176,10 @@ class Extrinsics:
 
     Stored as tuples so the dataclass stays hashable / jit-static.
     ``R_imu_laser`` rotates laser-frame vectors into the IMU frame,
-    ``t_imu_laser`` is the laser origin in the IMU frame.
+    ``t_imu_laser`` is the laser origin in the IMU frame.  When loaded via
+    :func:`load_calibration` the RPY rotation offset from the calibration
+    file is already composed into ``R_imu_laser`` (the reference applies it
+    at load time too, parameter.cpp:198-214).
     """
 
     R_imu_laser: Tuple[Tuple[float, ...], ...] = (
@@ -183,13 +188,19 @@ class Extrinsics:
         (0.0, 0.0, 1.0),
     )
     t_imu_laser: Tuple[float, ...] = (0.0, 0.0, 0.0)
-    rotation_offset_rpy: Tuple[float, ...] = (0.0, 0.0, 0.0)
 
     def R(self) -> np.ndarray:
         return np.asarray(self.R_imu_laser, dtype=np.float32)
 
     def t(self) -> np.ndarray:
         return np.asarray(self.t_imu_laser, dtype=np.float32)
+
+    @staticmethod
+    def from_arrays(R: np.ndarray, t: np.ndarray) -> "Extrinsics":
+        return Extrinsics(
+            R_imu_laser=tuple(tuple(float(v) for v in row) for row in R),
+            t_imu_laser=tuple(float(v) for v in np.asarray(t).reshape(3)),
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -241,6 +252,87 @@ def profile_by_name(name: str) -> SensorProfile:
     return table[name.lower()]
 
 
+def _rpy_deg_to_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """RPY (degrees) -> rotation matrix, Rz(yaw) @ Ry(pitch) @ Rx(roll)
+    (tf2 setRPY convention used by the reference's offset composition)."""
+    r, p, y = np.deg2rad([roll, pitch, yaw])
+    cr, sr, cp, sp, cy, sy = np.cos(r), np.sin(r), np.cos(p), np.sin(p), \
+        np.cos(y), np.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def _load_opencv_yaml(path: str) -> dict:
+    """Parse an OpenCV FileStorage YAML (the reference's calibration format):
+    strips the '%YAML:1.0' directive and resolves '!!opencv-matrix' nodes to
+    numpy arrays."""
+    import yaml
+
+    with open(path) as f:
+        text = f.read()
+    lines = text.splitlines()
+    if lines and lines[0].lstrip().startswith("%YAML"):
+        lines = lines[1:]
+        if lines and lines[0].strip() == "---":
+            lines = lines[1:]
+    text = "\n".join(lines)
+
+    class _CvLoader(yaml.SafeLoader):
+        pass
+
+    def _mat(loader, node):
+        d = loader.construct_mapping(node, deep=True)
+        return np.asarray(d["data"], dtype=np.float64).reshape(
+            int(d["rows"]), int(d["cols"])
+        )
+
+    _CvLoader.add_constructor("tag:yaml.org,2002:opencv-matrix", _mat)
+    _CvLoader.add_constructor("!opencv-matrix", _mat)
+    return yaml.load(text, Loader=_CvLoader) or {}
+
+
+def load_calibration(
+    path: str, provide_imu_laser_extrinsic: bool = True
+) -> Tuple[Extrinsics, float]:
+    """Load a reference-style calibration YAML into (Extrinsics, yaw_ratio).
+
+    Mirrors readCalibration (reference parameter.cpp:118-280):
+
+    * direct path: ``extrinsicRotation_imu_laser`` / ``Translation`` with the
+      ``imu_laser_rotation_offset`` RPY (degrees) composed on the LEFT of the
+      rotation (parameter.cpp:198-214);
+    * camera path (``provide_imu_laser_extrinsic=False``): T_imu_laser =
+      T_imu_camera o T_camera_laser (parameter.cpp:237-260);
+    * ``yaw_ratio`` (degrees of yaw per meter traveled, parameter.cpp:150).
+    """
+    raw = _load_opencv_yaml(path)
+    yaw_ratio = float(raw.get("yaw_ratio", 0.0) or 0.0)
+    if provide_imu_laser_extrinsic:
+        R = np.asarray(raw["extrinsicRotation_imu_laser"], np.float64)
+        t = np.asarray(raw["extrinsicTranslation_imu_laser"],
+                       np.float64).reshape(3)
+        off = raw.get("imu_laser_rotation_offset")
+        if off is not None:
+            off = np.asarray(off, np.float64).reshape(-1)
+            R = _rpy_deg_to_matrix(off[0], off[1], off[2]) @ R
+    else:
+        R_cl = np.asarray(raw["extrinsicRotation_camera_laser"], np.float64)
+        t_cl = np.asarray(raw["extrinsicTranslation_camera_laser"],
+                          np.float64).reshape(3)
+        R_ic = np.asarray(raw["extrinsicRotation_imu_camera"], np.float64)
+        t_ic = np.asarray(raw["extrinsicTranslation_imu_camera"],
+                          np.float64).reshape(3)
+        # renormalize the camera rotation through a quaternion as the
+        # reference does (parameter.cpp:252-254)
+        u, _, vt = np.linalg.svd(R_ic)
+        R_ic = u @ vt
+        R = R_ic @ R_cl
+        t = R_ic @ t_cl + t_ic
+    return Extrinsics.from_arrays(R, t), yaw_ratio
+
+
 def load_yaml_config(path: str) -> PipelineConfig:
     """Load a reference-style YAML profile into a PipelineConfig.
 
@@ -272,9 +364,26 @@ def load_yaml_config(path: str) -> PipelineConfig:
             lm.get("mapping_plane_resolution", sensor.default_plane_res)
         ),
     )
+    # calibration file: reference launch files pass it as a node parameter
+    # (launch/vlp_16.launch.py); accept a path relative to the config file
+    extr = Extrinsics()
+    yaw_ratio = 0.0
+    calib = params.get("calibration_file") or raw.get("calibration_file")
+    if calib:
+        import os
+
+        if not os.path.isabs(calib):
+            calib = os.path.join(os.path.dirname(os.path.abspath(path)), calib)
+        extr, yaw_ratio = load_calibration(
+            calib,
+            provide_imu_laser_extrinsic=bool(
+                params.get("provide_imu_laser_extrinsic", True)
+            ),
+        )
     reg = RegistrationConfig(
         max_icp_iters=int(lm.get("max_iterations", 4)),
         velocity_failure_threshold=float(lm.get("velocity_failure_threshold", 30.0)),
+        yaw_ratio=yaw_ratio,
     )
     imu_cfg = ImuConfig(
         acc_noise=float(imu.get("acc_n", ImuConfig.acc_noise)),
@@ -298,5 +407,10 @@ def load_yaml_config(path: str) -> PipelineConfig:
         ),
     )
     return PipelineConfig(
-        sensor=sensor, registration=reg, imu=imu_cfg, localization=loc
+        sensor=sensor, registration=reg, imu=imu_cfg, localization=loc,
+        extrinsics=extr,
+        use_imu_roll_pitch=bool(
+            lm.get("use_imu_roll_pitch",
+                   fe.get("use_imu_roll_pitch", False))
+        ),
     )

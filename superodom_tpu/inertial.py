@@ -106,10 +106,11 @@ class Preintegrated(NamedTuple):
     ref_bg: jnp.ndarray  # f32[3]
 
 
-def _sample_dts(t, mask, dtype):
+def _sample_dts(t, mask, dtype, rate=200.0):
     """Per-sample integration dt with the reference's bootstrapping and
-    clamping (imuPreintegration.cpp:258-264): first valid sample uses
-    1/200 s, gaps are clamped to [1e-4, 0.5], invalid lanes contribute 0."""
+    clamping (imuPreintegration.cpp:258-264): first valid sample uses one
+    nominal IMU period (1/rate), gaps are clamped to [1e-4, 0.5], invalid
+    lanes contribute 0."""
     idx = jnp.cumsum(mask.astype(jnp.int32))
     first = mask & (idx == 1)
     t_masked = jnp.where(mask, t, -jnp.float32(3.4e38))
@@ -118,12 +119,12 @@ def _sample_dts(t, mask, dtype):
         [jnp.full((1,), -jnp.float32(3.4e38), dtype), run_max[:-1]]
     )
     dt = jnp.clip(t - prev_t, 1e-4, 0.5)
-    dt = jnp.where(first, 1.0 / 200.0, dt)
+    dt = jnp.where(first, 1.0 / rate, dt)
     return jnp.where(mask, dt, 0.0)
 
 
 def _integrate_chain(t, acc, gyr, mask, ba, bg, dtype, q0=None, gravity_w=None,
-                     v0=None, p0=None):
+                     v0=None, p0=None, rate=200.0):
     """Parallel (log-depth) strapdown integration via associative scans:
     the quaternion chain Q_i = dq_1 * ... * dq_i is an associative product;
     velocities/positions follow by prefix sums.  Semantics match the
@@ -132,7 +133,7 @@ def _integrate_chain(t, acc, gyr, mask, ba, bg, dtype, q0=None, gravity_w=None,
 
     Returns per-sample (q[i], v[i], p[i]) inclusive of sample i, plus dts.
     """
-    dt = _sample_dts(t, mask, dtype)
+    dt = _sample_dts(t, mask, dtype, rate)
     a = acc - ba
     g = gyr - bg
     dq = so3_exp(g * dt[:, None])  # identity where dt == 0
@@ -161,12 +162,13 @@ def _integrate_chain(t, acc, gyr, mask, ba, bg, dtype, q0=None, gravity_w=None,
     return Q, v, p, dt
 
 
-def _preintegrate_raw(t, acc, gyr, mask, ba, bg, dtype):
-    Q, v, p, dt = _integrate_chain(t, acc, gyr, mask, ba, bg, dtype)
+def _preintegrate_raw(t, acc, gyr, mask, ba, bg, dtype, rate=200.0):
+    Q, v, p, dt = _integrate_chain(t, acc, gyr, mask, ba, bg, dtype, rate=rate)
     return Q[-1], v[-1], p[-1], jnp.sum(dt)
 
 
-def preintegrate(imu: ImuWindow, ba: jnp.ndarray, bg: jnp.ndarray) -> Preintegrated:
+def preintegrate(imu: ImuWindow, ba: jnp.ndarray, bg: jnp.ndarray,
+                 rate: float = 200.0) -> Preintegrated:
     """Preintegrate the masked IMU window at reference biases, with bias
     Jacobians computed by forward-mode autodiff of the integration itself
     (replacing GTSAM's hand-propagated Jacobians)."""
@@ -175,7 +177,7 @@ def preintegrate(imu: ImuWindow, ba: jnp.ndarray, bg: jnp.ndarray) -> Preintegra
     def f(b):
         ba_, bg_ = b[:3], b[3:]
         q, v, p, dt = _preintegrate_raw(
-            imu.t, imu.acc, imu.gyr, imu.mask, ba_, bg_, dtype
+            imu.t, imu.acc, imu.gyr, imu.mask, ba_, bg_, dtype, rate=rate
         )
         return jnp.concatenate([so3_log(q), v, p]), (q, v, p, dt)
 
@@ -284,7 +286,7 @@ def smoother_update(
     dtype = state.p.dtype
     gravity_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
 
-    pre = preintegrate(imu, state.ba[-1], state.bg[-1])
+    pre = preintegrate(imu, state.ba[-1], state.bg[-1], rate=cfg.imu_rate)
 
     # propagate a predicted state for the new keyframe
     q_pred = quat_normalize(quat_mul(state.q[-1], pre.dq))
@@ -489,5 +491,6 @@ def propagate_high_rate(
     qs, vs, ps, _ = _integrate_chain(
         imu.t, imu.acc, imu.gyr, imu.mask, state.ba[-1], state.bg[-1], dtype,
         q0=state.q[-1], gravity_w=gravity_w, v0=state.v[-1], p0=state.p[-1],
+        rate=cfg.imu_rate,
     )
     return Pose(qs, ps), vs, imu.mask

@@ -102,7 +102,17 @@ def _bucket_of(packed: jnp.ndarray, nb: int) -> jnp.ndarray:
 
 
 def empty_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelHashMap:
+    if cfg.table_size % cfg.bucket_size != 0:
+        raise ValueError(
+            f"table_size ({cfg.table_size}) must be a multiple of "
+            f"bucket_size ({cfg.bucket_size})"
+        )
     nb = cfg.table_size // cfg.bucket_size
+    if nb & (nb - 1) != 0:
+        raise ValueError(
+            f"table_size/bucket_size ({nb}) must be a power of two "
+            "(_bucket_of masks the hash with nb-1)"
+        )
     return VoxelHashMap(
         keys=jnp.full((nb, cfg.bucket_size), _EMPTY, dtype=jnp.int32),
         pts=jnp.zeros((nb, cfg.bucket_size, cfg.cell_capacity, 3), dtype=dtype),

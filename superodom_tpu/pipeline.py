@@ -82,8 +82,12 @@ class OdomState(NamedTuple):
     surf_map: VoxelHashMap
     smoother: SmootherState
     degenerate: jnp.ndarray  # bool — from last registration
+    uncertainty: jnp.ndarray  # f32[6] per-axis alignment risk of last frame
     vio_pose: Pose  # external odometry prediction (VIO path)
     vio_available: jnp.ndarray  # bool
+    prev_imu: ImuWindow  # previous scan's IMU window — the smoother's
+    # preintegration interval [t_{k-1}, t_k] (imuPreintegration.cpp:250-276
+    # integrates up to the correction time, i.e. the PAST interval)
 
 
 class StepOutput(NamedTuple):
@@ -111,6 +115,17 @@ class StepOutput(NamedTuple):
     total_rotation: jnp.ndarray
 
 
+def empty_imu_window(m: int, dtype=jnp.float32) -> ImuWindow:
+    """All-masked-out IMU window (identity orientations)."""
+    return ImuWindow(
+        t=jnp.zeros((m,), dtype),
+        acc=jnp.zeros((m, 3), dtype),
+        gyr=jnp.zeros((m, 3), dtype),
+        q=jnp.tile(quat_identity(dtype)[None], (m, 1)),
+        mask=jnp.zeros((m,), bool),
+    )
+
+
 def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdomState:
     loc = cfg.localization
     if loc.enabled:
@@ -136,8 +151,10 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdomState:
         surf_map=empty_map(cfg.map, dtype),
         smoother=smoother_init(cfg.imu, dtype),
         degenerate=jnp.asarray(False),
+        uncertainty=jnp.zeros((6,), dtype),
         vio_pose=Pose.identity(dtype),
         vio_available=jnp.asarray(False),
+        prev_imu=empty_imu_window(cfg.imu.max_imu_per_scan, dtype),
     )
 
 
@@ -387,10 +404,14 @@ def step(
         edge_map = state.edge_map
 
     # ---------------- inertial smoother (process 3) ------------------------
+    # The IMU factor between keyframes k-1 -> k preintegrates the PAST
+    # interval (the previous scan's window, carried in state), matching the
+    # reference's integrate-up-to-correction-time semantics
+    # (imuPreintegration.cpp:250-276).
     lidar2imu = Pose(matrix_to_quat(R_il), t_il)
     pose_imu_frame = pose.compose(lidar2imu)
     smoother, smoothed_imu = smoother_update(
-        state.smoother, cfg.imu, pose_imu_frame, scan.t_start, imu
+        state.smoother, cfg.imu, pose_imu_frame, scan.t_start, state.prev_imu
     )
     smoothed_pose = smoothed_imu.compose(lidar2imu.inverse())
 
@@ -419,8 +440,11 @@ def step(
         surf_map=surf_map,
         smoother=smoother,
         degenerate=icp_stats.degenerate & run_icp,
+        uncertainty=jnp.where(run_icp, icp_stats.uncertainty,
+                              state.uncertainty),
         vio_pose=state.vio_pose,
         vio_available=state.vio_available,
+        prev_imu=imu._replace(mask=imu.mask & imu_available),
     )
     out = StepOutput(
         pose=pose,
@@ -453,11 +477,17 @@ def _pose_delta(a: Pose, b: Pose):
 
 def _vio_information(state, surf_mask, reg, dtype):
     """Information weights of the absolute-pose constraint under degeneracy
-    (reference addAbsolutePoseConstraints, LidarSlam.cpp:285-298)."""
+    (reference addAbsolutePoseConstraints, LidarSlam.cpp:285-298): per-axis
+    weights scale with the PREVIOUS frame's carried alignment-risk
+    uncertainty — a well-constrained axis leans on the lidar, an
+    unconstrained one on the external prior.  NOTE the reference's
+    "uncertainty" convention: the value is the (x3, capped) share of
+    features observing the axis, so LOW means poorly observed."""
     n_feat = jnp.sum(surf_mask.astype(dtype))
     vcf = reg.visual_confidence_factor
-    unc = jnp.zeros((3,), dtype)  # refined when uncertainty is carried over
-    w_t = (1.0 - unc) * jnp.maximum(50.0, n_feat * 0.1) * vcf
+    unc = state.uncertainty  # f32[6]; LOW value = axis poorly observed
+    # (1 - unc): a poorly-observed axis leans harder on the external prior
+    w_t = (1.0 - unc[:3]) * jnp.maximum(50.0, n_feat * 0.1) * vcf
     w_rp = jnp.full((2,), jnp.maximum(10.0, n_feat * 0.01) * vcf, dtype)
     w_yaw = jnp.zeros((1,), dtype)  # yaw weight zeroed in the reference (:294)
     return jnp.concatenate([w_t, w_rp, w_yaw])

@@ -509,8 +509,10 @@ def estimate_registration_error(H: jnp.ndarray) -> RegistrationError:
 
 def lidar_uncertainty_from_histogram(hist: jnp.ndarray) -> jnp.ndarray:
     """EstimateLidarUncertainty (reference LidarSlam.cpp:915-986): map the
-    9-bin observability histogram to 6 normalized uncertainties
-    (x, y, z, roll, pitch, yaw), 0 = well constrained, 1 = unconstrained."""
+    9-bin observability histogram to 6 normalized per-axis observability
+    scores (x, y, z, roll, pitch, yaw).  Convention (reference's, kept for
+    parity despite the name): the value is the axis's share of constraining
+    features x3, capped at 1 — so 1 = well observed, LOW = degenerate."""
     h = hist.astype(jnp.float32)
     trans_total = h[6] + h[7] + h[8]
     rot_total = h[0] + h[1] + h[2] + h[3] + h[4] + h[5]

@@ -126,7 +126,10 @@ class OdometryRunner:
     def _imu_window(self, t0: float, t1: float) -> tuple[ImuWindow, bool]:
         m = self.cfg.imu.max_imu_per_scan
         ts = np.asarray(self._imu_t)
-        if len(ts) == 0 or ts[-1] <= t1 or (len(ts) and ts[0] >= t0):
+        # coverage rule: first sample at-or-before t0, last strictly after t1
+        # (matches native so_imu_buffer_sync and the reference's
+        # synchronize_measurements)
+        if len(ts) == 0 or ts[-1] <= t1 or ts[0] > t0:
             # not synchronized (scan span not covered) -> LiDAR-only this scan
             return self._empty_window(), False
         lo = np.searchsorted(ts, t0, side="right") - 1
