@@ -61,19 +61,31 @@ def _dataset(cfg, n_scans, seed=7):
     )
 
 
-def bench_single(sensor_name="os1", n_scans=60):
+def bench_single(sensor_name="os1", n_scans=60, preload=True, chunk=None):
+    import numpy as np
+
+    from superodom_tpu.io.datasets import ate_rmse
     from superodom_tpu.runner import OdometryRunner
 
     cfg = _config(sensor_name)
     ds = _dataset(cfg, n_scans)
     runner = OdometryRunner(cfg)
-    res = runner.run_dataset_chunked(ds, use_imu=True, chunk=n_scans)
+    res = runner.run_dataset_chunked(ds, use_imu=True,
+                                     chunk=chunk or n_scans, preload=preload)
+    # tracking guard: a diverged estimator's throughput is meaningless
+    ate = ate_rmse(res.poses_t, np.asarray(ds.gt_poses_t))
+    metric = (f"registered_scans_per_sec_{cfg.sensor.name}"
+              + ("_os1_128" if sensor_name == "os1" else "")
+              + ("" if preload else "_streaming"))
     return {
-        "metric": f"registered_scans_per_sec_{cfg.sensor.name}"
-        + ("_os1_128" if sensor_name == "os1" else ""),
+        "metric": metric,
         "value": round(res.scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(res.scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+        "ate_m": round(ate, 3),
+        "tracking": bool(ate < 0.5),
+        "p50_step_ms": round(float(np.median(
+            [s["time_elapsed_ms"] for s in res.stats])), 3),
     }
 
 
@@ -154,6 +166,9 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "os1"
     if which.startswith("batch"):
         out = bench_batch(batch=int(which[5:] or 4))
+    elif which == "stream":
+        # host->device streaming INSIDE the timed loop (live-feed number)
+        out = bench_single("os1", preload=False, chunk=10)
     else:
         out = bench_single(which)
     print(json.dumps(out))

@@ -79,5 +79,6 @@ def load_prior_map(path: str, cfg: PipelineConfig, state: OdomState,
         pad = batch - len(chunk)
         arr = np.pad(chunk, ((0, pad), (0, 0)))
         mask = np.arange(batch) < len(chunk)
-        surf = insert(surf, cfg.map, jnp.asarray(arr), jnp.asarray(mask), res)
+        surf = insert(surf, cfg.map, jnp.asarray(arr), jnp.asarray(mask), res,
+                      max_writes=batch)
     return state._replace(surf_map=surf)

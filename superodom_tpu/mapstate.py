@@ -143,10 +143,12 @@ def insert(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
     min_dist,
+    max_writes: int = 0,
 ) -> VoxelHashMap:
     """Insert world-frame points, keeping stored points >= ``min_dist`` apart
     (the role of the reference's per-block VoxelGrid thinning,
-    LocalMap.h:562-587)."""
+    LocalMap.h:562-587).  ``max_writes`` overrides ``cfg.insert_width``
+    (0 = use the config; pass ``xyz.shape[0]`` for uncapped bulk loads)."""
     nb, B = m.keys.shape
     C = m.cell_capacity
     n = xyz.shape[0]
@@ -248,11 +250,33 @@ def insert(
     dest = cell_cnt + rank
     write = keep & (dest < C)
 
-    flat = jnp.where(write, safe_slot * C + dest, nb * B * C)
+    # Cap and COMPACT the write set before scattering: a scatter into the
+    # (tens of MB) pts table costs ~0.5 us per update lane on TPU regardless
+    # of masking, so the update width — not the data volume — is the cost.
+    # In steady state only frontier points survive the distance gate; the
+    # prefix cap only bites on the first few frames (dropped points re-enter
+    # next scan, exactly like the reference's per-block overflow thinning).
+    W_ins = min(max_writes if max_writes > 0 else cfg.insert_width, n)
+    if W_ins < n:
+        w_rank = jnp.cumsum(write.astype(jnp.int32)) - 1
+        # prefix cut in sorted-cell order keeps each cell's kept lanes
+        # contiguous from rank 0, so `dest` stays gap-free
+        write = write & (w_rank < W_ins)
+        sel_keys = jnp.where(write, n - lane_ids, 0)
+        _, sel = jax.lax.top_k(sel_keys, W_ins)
+        write_c = write[sel]
+        # distinct OOB sentinels keep the unique_indices promise honest
+        flat = jnp.where(write_c, safe_slot[sel] * C + dest[sel],
+                         nb * B * C + jnp.arange(W_ins, dtype=jnp.int32))
+        xyz_w = xyz_s[sel]
+    else:
+        flat = jnp.where(write, safe_slot * C + dest,
+                         nb * B * C + lane_ids)
+        xyz_w = xyz_s
     pts = (
         pts_flat.reshape(nb * B * C, 3)
         .at[flat]
-        .set(xyz_s, mode="drop")
+        .set(xyz_w, mode="drop", unique_indices=True)
         .reshape(nb, B, C, 3)
     )
 

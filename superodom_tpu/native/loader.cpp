@@ -134,17 +134,66 @@ int64_t so_synth_ring_time(const float* xyz, int64_t n, int32_t n_scan_lines,
 }
 
 // ---------------------------------------------------------------------------
-// IMU ring buffer + scan synchronization
+// IMU ring buffer + conditioning + orientation chain + scan synchronization
 // ---------------------------------------------------------------------------
+
+// 3-vector / quaternion helpers (double; quaternions are wxyz)
+static inline void v_cross(const double* a, const double* b, double* o) {
+  o[0] = a[1] * b[2] - a[2] * b[1];
+  o[1] = a[2] * b[0] - a[0] * b[2];
+  o[2] = a[0] * b[1] - a[1] * b[0];
+}
+static inline void m_mulv(const double* R, const double* v, double* o) {
+  for (int i = 0; i < 3; ++i)
+    o[i] = R[3 * i] * v[0] + R[3 * i + 1] * v[1] + R[3 * i + 2] * v[2];
+}
+static inline void q_mul(const double* a, const double* b, double* o) {
+  o[0] = a[0] * b[0] - a[1] * b[1] - a[2] * b[2] - a[3] * b[3];
+  o[1] = a[0] * b[1] + a[1] * b[0] + a[2] * b[3] - a[3] * b[2];
+  o[2] = a[0] * b[2] - a[1] * b[3] + a[2] * b[0] + a[3] * b[1];
+  o[3] = a[0] * b[3] + a[1] * b[2] - a[2] * b[1] + a[3] * b[0];
+}
+static inline void q_normalize(double* q) {
+  const double n =
+      std::sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]);
+  if (n > 0) for (int i = 0; i < 4; ++i) q[i] /= n;
+}
+static inline void so3_expq(const double* w, double* q) {
+  const double th = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+  if (th < 1e-12) {
+    q[0] = 1.0; q[1] = 0.5 * w[0]; q[2] = 0.5 * w[1]; q[3] = 0.5 * w[2];
+  } else {
+    const double s = std::sin(0.5 * th) / th;
+    q[0] = std::cos(0.5 * th);
+    q[1] = s * w[0]; q[2] = s * w[1]; q[3] = s * w[2];
+  }
+  q_normalize(q);
+}
 
 struct SoImuBuffer {
   struct Sample {
     double t;
     float acc[3];
-    float gyr[3];
+    float gyr[3];  // bias-subtracted once static init has run
+    float q[4];    // integrated world<-body orientation (wxyz)
   };
   std::map<double, Sample> samples;  // time-indexed, like MapRingBuffer
   size_t capacity;
+  // conditioning (the role of imuConverter, imuPreintegration.cpp:486-541):
+  // rotate raw samples into the laser axes and transport the accelerometer
+  // to the laser origin via the lever arm
+  bool has_extrinsics = false;
+  double R_li[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};  // imu -> laser rotation
+  double t_il[3] = {0, 0, 0};  // laser origin in the imu frame
+  double imu_rate = 200.0;
+  double prev_raw_gyr[3] = {0, 0, 0};
+  bool has_prev_raw = false;
+  // orientation chain (updateImuOrientation, featureExtraction.cpp:574-583)
+  double q_last[4] = {1, 0, 0, 0};
+  double gyr_last[3] = {0, 0, 0};
+  double t_last = -1.0;
+  double bias[3] = {0, 0, 0};
+  bool initialized = false;  // static init performed
 };
 
 void* so_imu_buffer_new(int64_t capacity) {
@@ -155,15 +204,175 @@ void* so_imu_buffer_new(int64_t capacity) {
 
 void so_imu_buffer_free(void* h) { delete static_cast<SoImuBuffer*>(h); }
 
+// R_li: row-major imu->laser rotation; t_il: laser origin in the imu frame.
+void so_imu_buffer_set_conditioning(void* h, const double* R_li,
+                                    const double* t_il, double imu_rate) {
+  auto* b = static_cast<SoImuBuffer*>(h);
+  std::memcpy(b->R_li, R_li, 9 * sizeof(double));
+  std::memcpy(b->t_il, t_il, 3 * sizeof(double));
+  b->imu_rate = imu_rate;
+  b->has_extrinsics = true;
+}
+
+// Condition one raw sample into the laser frame: gyr' = R_li w,
+// acc' = R_li (a + dw/dt x t_il + w x (w x t_il)) — rigid-body transport of
+// the accelerometer to the laser origin (lever arm as in
+// imuPreintegration.cpp:511, with consistent frames).
+static void so_condition(SoImuBuffer* b, const float* acc_in,
+                         const float* gyr_in, double* acc_out,
+                         double* gyr_out) {
+  double a[3] = {acc_in[0], acc_in[1], acc_in[2]};
+  double w[3] = {gyr_in[0], gyr_in[1], gyr_in[2]};
+  if (!b->has_extrinsics) {
+    std::memcpy(acc_out, a, 24);
+    std::memcpy(gyr_out, w, 24);
+    return;
+  }
+  double alpha[3] = {0, 0, 0};
+  if (b->has_prev_raw)
+    for (int i = 0; i < 3; ++i)
+      alpha[i] = (w[i] - b->prev_raw_gyr[i]) * b->imu_rate;
+  std::memcpy(b->prev_raw_gyr, w, 24);
+  b->has_prev_raw = true;
+  double tmp1[3], tmp2[3];
+  v_cross(alpha, b->t_il, tmp1);          // dw/dt x r
+  v_cross(w, b->t_il, tmp2);              // w x r
+  double tmp3[3];
+  v_cross(w, tmp2, tmp3);                 // w x (w x r)
+  for (int i = 0; i < 3; ++i) a[i] += tmp1[i] + tmp3[i];
+  m_mulv(b->R_li, a, acc_out);
+  m_mulv(b->R_li, w, gyr_out);
+}
+
+// Advance the gyro orientation chain by one sample (trapezoid on rates).
+static void so_chain_step(SoImuBuffer* b, double t, const double* gyr_c,
+                          double* q_out) {
+  double dt = b->t_last < 0 ? 1.0 / b->imu_rate : t - b->t_last;
+  if (dt < 0.0) dt = 0.0;
+  if (dt > 0.5) dt = 0.5;
+  double w[3];
+  for (int i = 0; i < 3; ++i)
+    w[i] = dt * 0.5 * (gyr_c[i] + b->gyr_last[i]);
+  double dq[4], q[4];
+  so3_expq(w, dq);
+  q_mul(b->q_last, dq, q);
+  q_normalize(q);
+  std::memcpy(b->q_last, q, 32);
+  std::memcpy(b->gyr_last, gyr_c, 24);
+  b->t_last = t;
+  std::memcpy(q_out, q, 32);
+}
+
 void so_imu_buffer_add(void* h, double t, const float* acc, const float* gyr) {
   auto* b = static_cast<SoImuBuffer*>(h);
+  double acc_c[3], gyr_c[3];
+  so_condition(b, acc, gyr, acc_c, gyr_c);
+  for (int i = 0; i < 3; ++i) gyr_c[i] -= b->bias[i];
+  double q[4];
+  so_chain_step(b, t, gyr_c, q);
   SoImuBuffer::Sample s;
   s.t = t;
-  std::memcpy(s.acc, acc, 12);
-  std::memcpy(s.gyr, gyr, 12);
+  for (int i = 0; i < 3; ++i) {
+    s.acc[i] = static_cast<float>(acc_c[i]);
+    s.gyr[i] = static_cast<float>(gyr_c[i]);
+  }
+  for (int i = 0; i < 4; ++i) s.q[i] = static_cast<float>(q[i]);
   b->samples[t] = s;
   while (b->samples.size() > b->capacity)  // evict oldest (MapRingBuffer.h:39)
     b->samples.erase(b->samples.begin());
+}
+
+// Static initialization over the buffered samples in [first, first+window]
+// (Imu::imuInit, imu_data.h:71-160): gyro bias from the mean rate, gravity
+// roll/pitch alignment from the mean specific force.  Subtracts the bias
+// from every stored sample and re-integrates the orientation chain from the
+// gravity-aligned seed.  out = acc_mean[3], gyr_bias[3], q0[4] (wxyz).
+// Returns 1 on success (>= 10 samples in the window), 0 otherwise.
+int32_t so_imu_buffer_static_init(void* h, double window_sec,
+                                  double* out) {
+  auto* b = static_cast<SoImuBuffer*>(h);
+  if (b->samples.size() < 10) return 0;
+  const double t0 = b->samples.begin()->first;
+  double acc_mean[3] = {0, 0, 0}, gyr_mean[3] = {0, 0, 0};
+  int64_t n = 0;
+  for (const auto& [t, s] : b->samples) {
+    if (t > t0 + window_sec) break;
+    for (int i = 0; i < 3; ++i) {
+      acc_mean[i] += s.acc[i];
+      gyr_mean[i] += s.gyr[i];
+    }
+    ++n;
+  }
+  if (n < 10) return 0;
+  for (int i = 0; i < 3; ++i) {
+    acc_mean[i] /= n;
+    gyr_mean[i] /= n;
+  }
+  // gravity roll/pitch (calculatePitchRollMatrix, imu_data.h:45-69):
+  // R = Rx(phi) Ry(theta) with R^T acc_mean = (0,0,|a|); the world seed is
+  // R_w_l = R^T so that gravity maps to +z in the world frame.
+  const double theta = std::atan2(
+      acc_mean[0], std::sqrt(acc_mean[1] * acc_mean[1] +
+                             acc_mean[2] * acc_mean[2]));
+  const double phi = std::atan2(-acc_mean[1], acc_mean[2]);
+  const double ct = std::cos(theta), st = std::sin(theta);
+  const double cp = std::cos(phi), sp = std::sin(phi);
+  // R = Rx(phi) @ Ry(theta); q0 from R^T
+  const double R[9] = {ct, 0, st,
+                       sp * st, cp, -sp * ct,
+                       -cp * st, sp, cp * ct};
+  // quaternion from R^T (transpose = inverse rotation)
+  const double Rt[9] = {R[0], R[3], R[6], R[1], R[4], R[7], R[2], R[5], R[8]};
+  double q0[4];
+  {
+    const double tr = Rt[0] + Rt[4] + Rt[8];
+    if (tr > 0) {
+      double s = std::sqrt(tr + 1.0) * 2;
+      q0[0] = 0.25 * s;
+      q0[1] = (Rt[7] - Rt[5]) / s;
+      q0[2] = (Rt[2] - Rt[6]) / s;
+      q0[3] = (Rt[3] - Rt[1]) / s;
+    } else if (Rt[0] > Rt[4] && Rt[0] > Rt[8]) {
+      double s = std::sqrt(1.0 + Rt[0] - Rt[4] - Rt[8]) * 2;
+      q0[0] = (Rt[7] - Rt[5]) / s;
+      q0[1] = 0.25 * s;
+      q0[2] = (Rt[1] + Rt[3]) / s;
+      q0[3] = (Rt[2] + Rt[6]) / s;
+    } else if (Rt[4] > Rt[8]) {
+      double s = std::sqrt(1.0 + Rt[4] - Rt[0] - Rt[8]) * 2;
+      q0[0] = (Rt[2] - Rt[6]) / s;
+      q0[1] = (Rt[1] + Rt[3]) / s;
+      q0[2] = 0.25 * s;
+      q0[3] = (Rt[5] + Rt[7]) / s;
+    } else {
+      double s = std::sqrt(1.0 + Rt[8] - Rt[0] - Rt[4]) * 2;
+      q0[0] = (Rt[3] - Rt[1]) / s;
+      q0[1] = (Rt[2] + Rt[6]) / s;
+      q0[2] = (Rt[5] + Rt[7]) / s;
+      q0[3] = 0.25 * s;
+    }
+    q_normalize(q0);
+  }
+  // subtract bias everywhere, re-integrate the chain from the seed
+  for (int i = 0; i < 3; ++i) b->bias[i] += gyr_mean[i];
+  std::memcpy(b->q_last, q0, 32);
+  for (int i = 0; i < 3; ++i) b->gyr_last[i] = 0.0;
+  b->t_last = -1.0;
+  for (auto& [t, s] : b->samples) {
+    double gyr_c[3];
+    for (int i = 0; i < 3; ++i) {
+      s.gyr[i] = static_cast<float>(s.gyr[i] - gyr_mean[i]);
+      gyr_c[i] = s.gyr[i];
+    }
+    double q[4];
+    so_chain_step(b, t, gyr_c, q);
+    for (int i = 0; i < 4; ++i) s.q[i] = static_cast<float>(q[i]);
+  }
+  b->initialized = true;
+  for (int i = 0; i < 3; ++i) out[i] = acc_mean[i];
+  for (int i = 0; i < 3; ++i) out[3 + i] = gyr_mean[i];
+  for (int i = 0; i < 4; ++i) out[6 + i] = q0[i];
+  return 1;
 }
 
 int64_t so_imu_buffer_size(void* h) {
@@ -185,9 +394,10 @@ int32_t so_imu_buffer_sync(void* h, double t0, double t1) {
 
 // Extract (at most max_out) samples covering [t0, t1] inclusive of one
 // sample before t0 and one after t1; evenly decimated when over capacity.
-// Returns the number written.
+// q_out (wxyz per sample) may be null.  Returns the number written.
 int64_t so_imu_buffer_window(void* h, double t0, double t1, int64_t max_out,
-                             double* t_out, float* acc_out, float* gyr_out) {
+                             double* t_out, float* acc_out, float* gyr_out,
+                             float* q_out) {
   auto* b = static_cast<SoImuBuffer*>(h);
   if (b->samples.empty()) return 0;
   auto lo = b->samples.upper_bound(t0);
@@ -208,6 +418,7 @@ int64_t so_imu_buffer_window(void* h, double t0, double t1, int64_t max_out,
     t_out[k] = s->t;
     std::memcpy(acc_out + 3 * k, s->acc, 12);
     std::memcpy(gyr_out + 3 * k, s->gyr, 12);
+    if (q_out) std::memcpy(q_out + 4 * k, s->q, 16);
   }
   return out_n;
 }

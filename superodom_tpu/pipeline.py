@@ -22,7 +22,7 @@ from superodom_tpu.frontend import (
     ImuWindow,
     Scan,
     curvature_edge_extraction,
-    select_features,
+    thin_and_select,
     undistort_points,
     uniform_feature_extraction,
 )
@@ -282,11 +282,11 @@ def step(
     # scan-stack voxel thinning (the role of downSizeFilterSurf,
     # laserMapping.cpp:643-645).  Scatter-claim keeps the first point per
     # voxel instead of PCL's centroid — one O(N) scatter instead of two
-    # full argsorts at 131k lanes; sub-resolution placement differences are
-    # absorbed by the correspondence gates.
-    ds_keep = voxel_downsample_scatter(scan.xyz, feat_mask, rt.plane_res)
-    surf_raw, surf_mask, surf_trel = select_features(
-        scan.xyz, ds_keep, sensor.max_surface_features, scan.t_rel
+    # full argsorts; wide clouds are top_k-compacted first so the scatter
+    # runs narrow (see frontend.thin_and_select).
+    surf_raw, surf_mask, surf_trel = thin_and_select(
+        scan.xyz, feat_mask, rt.plane_res, sensor.max_surface_features,
+        sensor.compact_width, scan.t_rel,
     )
     surf_u, q_w_orig_l, _ = undistort_points(
         surf_raw, surf_trel, surf_mask, scan.t_start, imu, R_il, t_il
@@ -300,9 +300,9 @@ def step(
             curvature_threshold=cfg.edge_curvature_threshold,
             min_range=sensor.min_range,
         )
-        em_keep = voxel_downsample_scatter(scan.xyz, em_full, rt.line_res)
-        edge_raw, edge_mask, edge_trel = select_features(
-            scan.xyz, em_keep, sensor.max_edge_features, scan.t_rel
+        edge_raw, edge_mask, edge_trel = thin_and_select(
+            scan.xyz, em_full, rt.line_res, sensor.max_edge_features,
+            sensor.compact_width // 2, scan.t_rel,
         )
         edge_u, _, _ = undistort_points(
             edge_raw, edge_trel, edge_mask, scan.t_start, imu, R_il, t_il

@@ -656,12 +656,21 @@ def icp_register(
         (init_planes, init_lines), stats0,
     )
 
-    # early-exit ICP: the reference breaks when Ceres converges in one step
-    # (LidarSlam.cpp:141-147); a while_loop realizes the same saving instead
-    # of masked full-length iteration
-    pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = (
-        jax.lax.while_loop(cond, outer, carry0)
-    )
+    if reg.icp_early_exit:
+        # early-exit ICP: the reference breaks when Ceres converges in one
+        # step (LidarSlam.cpp:141-147); a while_loop realizes the same saving
+        # instead of masked full-length iteration
+        pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = (
+            jax.lax.while_loop(cond, outer, carry0)
+        )
+    else:
+        # fixed-length scan: every instance runs max_it iterations with the
+        # convergence mask freezing finished ones (better XLA pipelining;
+        # exact same masked-update semantics)
+        carry, _ = jax.lax.scan(
+            lambda c, _: (outer(c), None), carry0, None, length=max_it
+        )
+        pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = carry
     active = jnp.arange(max_it) < n_it
     # one H evaluation at the final pose (the reference computes covariance
     # once, from the final problem, LidarSlam.cpp:141-147)

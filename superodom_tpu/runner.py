@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from superodom_tpu.config import PipelineConfig
+from superodom_tpu import native
+from superodom_tpu.config import Extrinsics, PipelineConfig
 from superodom_tpu.frontend import ImuWindow, Scan
 from superodom_tpu.pipeline import (
     StepOutput,
@@ -29,27 +30,6 @@ from superodom_tpu.pipeline import (
     make_chunked_step_fn,
     make_step_fn,
 )
-
-def _np_quat_mul(q, p):
-    w1, x1, y1, z1 = q
-    w2, x2, y2, z2 = p
-    return np.array([
-        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-    ], np.float32)
-
-
-def _np_so3_exp(w):
-    theta = float(np.linalg.norm(w))
-    if theta < 1e-8:
-        q = np.array([1.0, 0.5 * w[0], 0.5 * w[1], 0.5 * w[2]], np.float32)
-    else:
-        s = np.sin(theta / 2.0) / theta
-        q = np.array([np.cos(theta / 2.0), s * w[0], s * w[1], s * w[2]],
-                     np.float32)
-    return q / np.linalg.norm(q)
 
 
 @dataclasses.dataclass
@@ -66,94 +46,83 @@ class RunResult:
 
 
 class OdometryRunner:
-    """Feeds scans + IMU windows through the pipeline, maintaining host-side
-    buffers (the MapRingBuffer role) and the gyro-orientation continuity the
-    reference keeps in its IMU handler."""
+    """Feeds scans + IMU windows through the pipeline.
 
-    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32):
+    IMU handling lives in the native ``ImuBuffer`` (superodom_tpu/native):
+    raw samples are conditioned into the gravity-aligned laser frame
+    (extrinsic rotation + lever-arm transport, the reference's imuConverter,
+    imuPreintegration.cpp:486-541), static-initialized after
+    ``init_window_sec`` (Imu::imuInit, imu_data.h:71-160), and carried with
+    a per-sample gyro orientation chain (updateImuOrientation).  Because
+    conditioning expresses the IMU stream in the laser frame, the on-device
+    pipeline runs with identity IMU extrinsics.
+    """
+
+    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32,
+                 condition_imu: bool = True):
         self.cfg = cfg
         self.dtype = dtype
-        self.step_fn = make_step_fn(cfg)
+        ident = (np.allclose(cfg.extrinsics.R(), np.eye(3), atol=1e-9)
+                 and np.allclose(cfg.extrinsics.t(), 0.0, atol=1e-12))
+        self.condition_imu = condition_imu and not ident
+        if self.condition_imu:
+            # samples arrive at the device already in the laser frame
+            self.step_cfg = dataclasses.replace(cfg, extrinsics=Extrinsics())
+        else:
+            self.step_cfg = cfg
+        self.step_fn = make_step_fn(self.step_cfg)
         self._chunk_fn = None  # built lazily by run_dataset_chunked
         self._hr_fn = None  # built lazily by high_rate_states
         self._last_window = None
-        self.state = init_state(cfg, dtype)
-        self._imu_t: list = []
-        self._imu_acc: list = []
-        self._imu_gyr: list = []
-        self._imu_q: list = []
-        self._q_last = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
-        self._gyr_last = np.zeros(3, np.float32)
-        self._t_last = -1.0
-        self._gyr_bias = np.zeros(3, np.float32)
-        self._init_done = False
-        self._init_acc: list = []
-        self._init_gyr: list = []
-        self._init_t0: Optional[float] = None
+        self.state = init_state(self.step_cfg, dtype)
+        self.imu_buf = native.ImuBuffer(
+            capacity=1 << 20,
+            R_imu_laser=cfg.extrinsics.R() if self.condition_imu else None,
+            t_imu_laser=cfg.extrinsics.t() if self.condition_imu else None,
+            imu_rate=cfg.imu.imu_rate,
+        )
+        self.imu_init = None  # (acc_mean, gyr_bias, q0) after static init
+        self._imu_t_first: Optional[float] = None
+        # online ingestion state (push_scan)
+        self._frame_count = 0
+        self._scan_queue: list = []
+        self.frames_skipped = 0  # skip_frame decimation
+        self.frames_shed = 0  # queue overflow drops
 
     # ---------------- IMU ingestion ---------------------------------------
     def add_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
-        """Ingest one IMU sample; performs static init over the first
-        ~init_window_sec (reference Imu::imuInit) then integrates
-        orientation (featureExtraction::updateImuOrientation)."""
-        if not self._init_done:
-            if self._init_t0 is None:
-                self._init_t0 = t
-            self._init_acc.append(acc)
-            self._init_gyr.append(gyr)
-            if t - self._init_t0 >= self.cfg.imu.init_window_sec:
-                self._gyr_bias = np.mean(self._init_gyr, axis=0).astype(np.float32)
-                self._init_done = True
-            # orientation integration still runs during init with raw rates
-        dt = 1.0 / self.cfg.imu.imu_rate if self._t_last < 0 else t - self._t_last
-        if dt < 0.001 or dt > 0.5:
-            dt = 0.005
-        gyr_c = gyr - self._gyr_bias
-        dq = _np_so3_exp(dt * 0.5 * (gyr_c + self._gyr_last))
-        q = _np_quat_mul(self._q_last, dq)
-        self._q_last = q / np.linalg.norm(q)
-        self._gyr_last = gyr_c.astype(np.float32)
-        self._t_last = t
-        self._imu_t.append(t)
-        self._imu_acc.append(acc.astype(np.float32))
-        self._imu_gyr.append(gyr_c.astype(np.float32))
-        self._imu_q.append(self._q_last.copy())
-        # bound the buffer (reference imu ring buffers hold 1000-2000)
-        if len(self._imu_t) > 1 << 20:
-            for buf in (self._imu_t, self._imu_acc, self._imu_gyr, self._imu_q):
-                del buf[: 1 << 19]
+        """Ingest one raw IMU sample.  The native buffer conditions it and
+        integrates the orientation chain; static init (gravity alignment +
+        gyro bias) runs once ``init_window_sec`` of data has accumulated."""
+        self.imu_buf.add(t, np.asarray(acc, np.float32),
+                         np.asarray(gyr, np.float32))
+        if not self.imu_buf.initialized:
+            if self._imu_t_first is None:
+                self._imu_t_first = t
+            if t - self._imu_t_first >= self.cfg.imu.init_window_sec:
+                self.imu_init = self.imu_buf.static_init(
+                    self.cfg.imu.init_window_sec)
 
     def _imu_window(self, t0: float, t1: float) -> tuple[ImuWindow, bool]:
         m = self.cfg.imu.max_imu_per_scan
-        ts = np.asarray(self._imu_t)
-        # coverage rule: first sample at-or-before t0, last strictly after t1
-        # (matches native so_imu_buffer_sync and the reference's
-        # synchronize_measurements)
-        if len(ts) == 0 or ts[-1] <= t1 or ts[0] > t0:
-            # not synchronized (scan span not covered) -> LiDAR-only this scan
+        # the reference consumes IMU only after static init completes
+        # (featureExtraction.cpp:603-618 IMU_INIT gate); pre-init scans run
+        # LiDAR-only
+        if not self.imu_buf.initialized or self.imu_buf.sync(t0, t1) != 1:
             return self._empty_window(), False
-        lo = np.searchsorted(ts, t0, side="right") - 1
-        hi = min(np.searchsorted(ts, t1, side="right") + 1, len(ts))
-        lo = max(lo, 0)
-        idx = np.arange(lo, hi)
-        if len(idx) > m:
-            idx = idx[np.linspace(0, len(idx) - 1, m).astype(int)]
-        n = len(idx)
+        ts, acc, gyr, qs = self.imu_buf.window(t0, t1, m)
+        n = len(ts)
         pad = m - n
-        t_arr = np.pad(ts[idx], (0, pad))
-        acc = np.pad(np.asarray(self._imu_acc)[idx], ((0, pad), (0, 0)))
-        gyr = np.pad(np.asarray(self._imu_gyr)[idx], ((0, pad), (0, 0)))
-        mask = np.arange(m) < n
-        # orientations: the per-sample integrated attitude recorded at ingest
-        # time (featureExtraction keeps exactly this in its IMU buffer)
-        qs = np.zeros((m, 4), np.float32)
-        qs[:n] = np.asarray(self._imu_q)[idx]
         win = ImuWindow(
-            t=jnp.asarray(t_arr, self.dtype),
-            acc=jnp.asarray(acc, self.dtype),
-            gyr=jnp.asarray(gyr, self.dtype),
-            q=jnp.asarray(qs, self.dtype),
-            mask=jnp.asarray(mask),
+            t=jnp.asarray(np.pad(ts, (0, pad)), self.dtype),
+            acc=jnp.asarray(np.pad(acc, ((0, pad), (0, 0))), self.dtype),
+            gyr=jnp.asarray(np.pad(gyr, ((0, pad), (0, 0))), self.dtype),
+            q=jnp.asarray(
+                np.concatenate(
+                    [qs, np.tile(np.array([1.0, 0, 0, 0], np.float32),
+                                 (pad, 1))]
+                ), self.dtype),
+            mask=jnp.asarray(np.arange(m) < n),
         )
         return win, True
 
@@ -213,6 +182,49 @@ class OdometryRunner:
         self._last_window = window
         return out
 
+    # ---------------- online ingestion (real-time semantics) ---------------
+    MAX_SCAN_QUEUE = 50  # lidar buffer shed threshold (featureExtraction.cpp:831)
+
+    def push_scan(self, t_start: float, xyz: np.ndarray, t_rel: np.ndarray,
+                  ring: Optional[np.ndarray] = None) -> List[StepOutput]:
+        """Online scan ingestion with the reference's real-time buffering
+        semantics (laserCloudHandler + manageLidarBuffer,
+        featureExtraction.cpp:710-842):
+
+        * frame decimation — every ``skip_frame``-th scan is processed
+          (featureExtraction.cpp:713-715);
+        * bounded pending queue — oldest scans are shed at 50 queued
+          (featureExtraction.cpp:825-842);
+        * deferred processing — a queued scan runs once the IMU stream
+          covers its sweep (synchronize_measurements), LiDAR-only if it
+          predates the buffer.
+
+        Returns the outputs of every scan processed by this call.
+        """
+        self._frame_count += 1
+        if self._frame_count % self.cfg.sensor.skip_frame != 0:
+            self.frames_skipped += 1
+            return []
+        self._scan_queue.append((float(t_start), np.asarray(xyz),
+                                 np.asarray(t_rel), ring))
+        while len(self._scan_queue) > self.MAX_SCAN_QUEUE:
+            self._scan_queue.pop(0)
+            self.frames_shed += 1
+        return self.drain_scans()
+
+    def drain_scans(self) -> List[StepOutput]:
+        """Process queued scans whose IMU coverage is complete."""
+        outs: List[StepOutput] = []
+        while self._scan_queue:
+            t_start, xyz, t_rel, ring = self._scan_queue[0]
+            t_end = t_start + (float(t_rel[-1]) if len(t_rel) else 0.0)
+            sync = self.imu_buf.sync(t_start, t_end)
+            if sync == 0 and len(self.imu_buf) > 0:
+                break  # wait for more IMU before processing this scan
+            self._scan_queue.pop(0)
+            outs.append(self.process_scan(t_start, xyz, t_rel))
+        return outs
+
     def high_rate_states(self):
         """IMU-rate (~200 Hz) odometry between the last two scans: the
         smoothed latest state propagated through the most recent IMU window
@@ -233,12 +245,73 @@ class OdometryRunner:
             )
         poses, vels, mask = self._hr_fn(self.state.smoother, self._last_window)
         m = np.asarray(mask)
+        qs = np.asarray(poses.q)[m]
+        if self.cfg.use_imu_roll_pitch:
+            # publish the IMU's own orientation chain instead of the smoothed
+            # attitude (reference prepareOdometryMessage,
+            # imuPreintegration.cpp:713-723)
+            qs = np.asarray(self._last_window.q)[m]
         return (
             np.asarray(self._last_window.t)[m],
-            np.asarray(poses.q)[m],
+            qs,
             np.asarray(poses.t)[m],
             np.asarray(vels)[m],
         )
+
+    @staticmethod
+    def _stats_record(out: StepOutput, i: int, t: Optional[float] = None,
+                      time_ms: Optional[float] = None) -> dict:
+        """One per-scan stats record — the full OptimizationStats surface
+        (reference super_odometry_msgs/msg/OptimizationStats.msg), identical
+        between per-scan and chunked replays.  ``out`` must hold host
+        (numpy) leaves for one scan."""
+        rec = {
+            "i": i,
+            "surf_stack": int(out.surf_stack_num),
+            "edge_stack": int(out.edge_stack_num),
+            "surf_map": int(out.surf_map_num),
+            "edge_map": int(out.edge_map_num),
+            "pred_source": int(out.prediction_source),
+            "n_iterations": int(out.icp.n_iterations),
+            "uncertainty": np.asarray(out.icp.uncertainty).tolist(),
+            "degenerate": bool(out.icp.degenerate),
+            "imu_healthy": bool(out.imu_healthy),
+            "translation_from_last": float(out.translation_from_last),
+            "rotation_from_last": float(out.rotation_from_last),
+            "total_translation": float(out.total_translation),
+            "total_rotation": float(out.total_rotation),
+            "average_distance": float(out.average_distance),
+            "motion_accepted": bool(out.motion_accepted),
+            "plane_rejection_hist": np.asarray(
+                out.icp.plane_rejection_hist).tolist(),
+            "line_rejection_hist": np.asarray(
+                out.icp.line_rejection_hist).tolist(),
+            "obs_histogram": np.asarray(out.icp.obs_histogram).tolist(),
+            "position_error": float(out.icp.error.position_error),
+            "pos_inverse_condition": float(
+                out.icp.error.pos_inverse_condition),
+            "orientation_error_deg": float(
+                out.icp.error.orientation_error_deg),
+            "iterations": [
+                {
+                    "translation_norm": float(out.icp.iter_trans_norm[k]),
+                    "rotation_norm": float(out.icp.iter_rot_norm[k]),
+                    "num_surf_from_scan": int(out.icp.iter_surf_num[k]),
+                    "num_corner_from_scan": int(out.icp.iter_edge_num[k]),
+                }
+                for k in range(len(np.asarray(out.icp.iter_trans_norm)))
+            ],
+            "acc_bias": np.asarray(out.acc_bias).tolist(),
+            "gyr_bias": np.asarray(out.gyr_bias).tolist(),
+        }
+        if t is not None:
+            rec["t"] = t
+        if time_ms is not None:
+            # OptimizationStats.msg:9-10 time_elapsed / latency; in offline
+            # replay both are the per-scan processing time
+            rec["time_elapsed_ms"] = round(time_ms, 3)
+            rec["latency_ms"] = round(time_ms, 3)
+        return rec
 
     # ---------------- dataset replay ---------------------------------------
     def run_dataset(self, dataset, use_imu: bool = True, log_path: Optional[str] = None,
@@ -260,44 +333,16 @@ class OdometryRunner:
                 while imu_i < len(imu.t) and imu.t[imu_i] <= t_end_scan + 0.02:
                     self.add_imu(imu.t[imu_i], imu.acc[imu_i], imu.gyr[imu_i])
                     imu_i += 1
+            t_scan0 = time.perf_counter()
             out = self.process_scan(s.t_start, s.xyz_body, s.t_rel)
-            poses_q.append(np.asarray(out.pose.q))
-            poses_t.append(np.asarray(out.pose.t))
-            smoothed_t.append(np.asarray(out.smoothed_pose.t))
+            out = jax.device_get(out)
+            scan_ms = (time.perf_counter() - t_scan0) * 1000.0
+            poses_q.append(out.pose.q)
+            poses_t.append(out.pose.t)
+            smoothed_t.append(out.smoothed_pose.t)
             stats.append(
-                {
-                    # the full OptimizationStats surface (OptimizationStats.msg)
-                    "i": i,
-                    "t": float(s.t_start),
-                    "surf_stack": int(out.surf_stack_num),
-                    "edge_stack": int(out.edge_stack_num),
-                    "surf_map": int(out.surf_map_num),
-                    "edge_map": int(out.edge_map_num),
-                    "pred_source": int(out.prediction_source),
-                    "n_iterations": int(out.icp.n_iterations),
-                    "uncertainty": np.asarray(out.icp.uncertainty).tolist(),
-                    "degenerate": bool(out.icp.degenerate),
-                    "imu_healthy": bool(out.imu_healthy),
-                    "translation_from_last": float(out.translation_from_last),
-                    "rotation_from_last": float(out.rotation_from_last),
-                    "total_translation": float(out.total_translation),
-                    "total_rotation": float(out.total_rotation),
-                    "average_distance": float(out.average_distance),
-                    "motion_accepted": bool(out.motion_accepted),
-                    "plane_rejection_hist": np.asarray(
-                        out.icp.plane_rejection_hist).tolist(),
-                    "iterations": [
-                        {
-                            "translation_norm": float(out.icp.iter_trans_norm[k]),
-                            "rotation_norm": float(out.icp.iter_rot_norm[k]),
-                            "num_surf_from_scan": int(out.icp.iter_surf_num[k]),
-                            "num_corner_from_scan": int(out.icp.iter_edge_num[k]),
-                        }
-                        for k in range(len(np.asarray(out.icp.iter_trans_norm)))
-                    ],
-                    "acc_bias": np.asarray(out.acc_bias).tolist(),
-                    "gyr_bias": np.asarray(out.gyr_bias).tolist(),
-                }
+                self._stats_record(out, i, t=float(s.t_start),
+                                   time_ms=scan_ms)
             )
         jax.block_until_ready(self.state)
         wall = time.perf_counter() - t_begin
@@ -317,15 +362,18 @@ class OdometryRunner:
         )
 
     def run_dataset_chunked(self, dataset, use_imu: bool = True,
-                            chunk: int = 16) -> RunResult:
+                            chunk: int = 16, preload: bool = True
+                            ) -> RunResult:
         """Replay with lax.scan-batched dispatch: `chunk` scans per device
         call.  Requires the dataset offline (all IMU available up front) —
         the high-throughput replay mode (BASELINE.md north star).
 
-        The timed region covers device compute + host windowing, matching
-        the reference's bag-replay benchmark semantics."""
+        ``preload=True`` uploads the whole replay to device memory before
+        the timed loop (the reference's "bag in page cache" semantics);
+        ``preload=False`` keeps host->device streaming INSIDE the timed
+        region — the number a live deployment would see."""
         if self._chunk_fn is None:
-            self._chunk_fn = make_chunked_step_fn(self.cfg)
+            self._chunk_fn = make_chunked_step_fn(self.step_cfg)
 
         # ingest all IMU first (offline replay)
         imu = dataset.imu
@@ -353,68 +401,75 @@ class OdometryRunner:
         # real host, a TCP relay here) stays out of the registration-
         # throughput measurement, matching the reference's "bag already in
         # page cache" replay benchmarks.
-        def stack_all(get):
+        def stack_host(get):
             leaves = jax.tree_util.tree_map(
                 lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[get(b) for b in built[: n_chunks * chunk]],
             )
-            return jax.device_put(
-                jax.tree_util.tree_map(
-                    lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), leaves
-                )
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), leaves
             )
 
-        all_scans = stack_all(lambda b: b[0])
-        all_imus = stack_all(lambda b: b[1])
-        all_avails = stack_all(lambda b: b[2])
+        host_inputs = (stack_host(lambda b: b[0]),
+                       stack_host(lambda b: b[1]),
+                       stack_host(lambda b: b[2]))
         index = lambda tree, c: jax.tree_util.tree_map(lambda a: a[c], tree)
+        if preload:
+            # whole replay resident in HBM before timing: streaming
+            # bandwidth (PCIe on a real host, a TCP relay here) stays out of
+            # the registration-throughput number
+            dev_inputs = jax.device_put(host_inputs)
+        else:
+            dev_inputs = None  # uploaded chunk by chunk inside the loop
 
         poses_q, poses_t, smoothed_t, stats = [], [], [], []
 
         # warmup compile on the first chunk shape
-        _ = self._chunk_fn(self.state, index(all_scans, 0), index(all_imus, 0),
-                           index(all_avails, 0))
+        first = (index(dev_inputs[0], 0), index(dev_inputs[1], 0),
+                 index(dev_inputs[2], 0)) if preload else jax.device_put(
+                     (index(host_inputs[0], 0), index(host_inputs[1], 0),
+                      index(host_inputs[2], 0)))
+        _ = self._chunk_fn(self.state, *first)
         jax.block_until_ready(_[0])
 
         t_begin = time.perf_counter()
         pending = []
         for c in range(n_chunks):
-            self.state, outs = self._chunk_fn(
-                self.state, index(all_scans, c), index(all_imus, c),
-                index(all_avails, c))
+            if preload:
+                inp = (index(dev_inputs[0], c), index(dev_inputs[1], c),
+                       index(dev_inputs[2], c))
+            else:
+                inp = jax.device_put(
+                    (index(host_inputs[0], c), index(host_inputs[1], c),
+                     index(host_inputs[2], c)))
+            self.state, outs = self._chunk_fn(self.state, *inp)
             # keep device->host reads OUT of the loop: each scalar read is a
             # full round trip on a remote-attached device
-            pending.append((
-                outs.pose.q, outs.pose.t, outs.smoothed_pose.t,
-                outs.surf_stack_num, outs.surf_map_num,
-                outs.prediction_source, outs.icp.n_iterations,
-                outs.icp.degenerate, outs.imu_healthy,
-            ))
+            pending.append(outs)
         jax.block_until_ready(self.state)
         wall = time.perf_counter() - t_begin  # registration work ends here;
         # stats readback below is reporting, not estimation
+        per_scan_ms = wall / max(n_chunks * chunk, 1) * 1000.0
         host = jax.device_get(pending)
-        for c, (pq, pt, st_t, sstack, smap, psrc, nit, deg, healthy) in enumerate(host):
-            poses_q.append(pq)
-            poses_t.append(pt)
-            smoothed_t.append(st_t)
+        for c, outs in enumerate(host):
+            poses_q.append(outs.pose.q)
+            poses_t.append(outs.pose.t)
+            smoothed_t.append(outs.smoothed_pose.t)
             for k in range(chunk):
-                stats.append({
-                    "i": c * chunk + k,
-                    "surf_stack": int(sstack[k]),
-                    "surf_map": int(smap[k]),
-                    "pred_source": int(psrc[k]),
-                    "n_iterations": int(nit[k]),
-                    "degenerate": bool(deg[k]),
-                    "imu_healthy": bool(healthy[k]),
-                })
-        # trailing remainder: per-scan path
+                out_k = jax.tree_util.tree_map(lambda a: a[k], outs)
+                stats.append(self._stats_record(
+                    out_k, c * chunk + k, time_ms=per_scan_ms))
+        # trailing remainder: per-scan path (full record surface kept)
         for b in built[n_chunks * chunk:]:
+            t_scan0 = time.perf_counter()
             self.state, out = self.step_fn(self.state, b[0], b[1], b[2])
-            poses_q.append(np.asarray(out.pose.q)[None])
-            poses_t.append(np.asarray(out.pose.t)[None])
-            smoothed_t.append(np.asarray(out.smoothed_pose.t)[None])
-            stats.append({"i": len(stats)})
+            out = jax.device_get(out)
+            scan_ms = (time.perf_counter() - t_scan0) * 1000.0
+            poses_q.append(out.pose.q[None])
+            poses_t.append(out.pose.t[None])
+            smoothed_t.append(out.smoothed_pose.t[None])
+            stats.append(self._stats_record(out, len(stats),
+                                            time_ms=scan_ms))
         return RunResult(
             poses_q=np.concatenate(poses_q),
             poses_t=np.concatenate(poses_t),

@@ -56,3 +56,39 @@ def test_long_run_stability(rng):
     # revisiting the same loop must not grow the map unboundedly
     n_pts = int(total_points(r.state.surf_map))
     assert n_pts < cfg.map.table_size * cfg.map.cell_capacity * 0.5
+
+
+def test_chunked_stats_parity():
+    """Per-scan and chunked replays emit the SAME stats surface (the
+    reference publishes full OptimizationStats every frame regardless of
+    transport)."""
+    import numpy as np
+
+    from superodom_tpu.io.datasets import BoxWorld, make_dataset
+    from superodom_tpu.runner import OdometryRunner
+
+    rng = np.random.default_rng(3)
+    ds = make_dataset(rng, n_scans=9, points_per_scan=2048,
+                      world=BoxWorld(half_extent=np.array([8.0, 6.0, 3.0])),
+                      radius=1.5, static_scans=3, laps=0.25)
+    cfg = tiny_config()
+
+    res_a = OdometryRunner(cfg).run_dataset(ds, use_imu=True, warmup=False)
+    res_b = OdometryRunner(cfg).run_dataset_chunked(ds, use_imu=True, chunk=4)
+
+    assert len(res_a.stats) == len(res_b.stats) == 9
+    # identical field sets everywhere (including the chunked remainder scan)
+    keys_a = {k for rec in res_a.stats for k in rec}
+    keys_b = {k for rec in res_b.stats for k in rec}
+    assert keys_a - keys_b == {"t"}  # per-scan mode also records scan time
+    for field in ("surf_stack", "n_iterations", "pred_source",
+                  "motion_accepted", "degenerate"):
+        a = [rec[field] for rec in res_a.stats]
+        b = [rec[field] for rec in res_b.stats]
+        assert a == b, f"{field}: {a} != {b}"
+    for field in ("uncertainty", "plane_rejection_hist", "obs_histogram"):
+        for ra, rb in zip(res_a.stats, res_b.stats):
+            np.testing.assert_allclose(ra[field], rb[field], atol=1e-4)
+    assert all("time_elapsed_ms" in rec and "latency_ms" in rec
+               for rec in res_b.stats)
+    np.testing.assert_allclose(res_a.poses_t, res_b.poses_t, atol=1e-4)

@@ -84,7 +84,7 @@ def test_imu_buffer_sync_and_window(rng):
     # scan older than buffer start after clean -> drop
     buf.clean(0.2)
     assert buf.sync(0.0, 0.1) == -1
-    t, acc, gyr = buf.window(0.25, 0.35, 64)
+    t, acc, gyr, q = buf.window(0.25, 0.35, 64)
     assert t[0] <= 0.25 and t[-1] > 0.35
     assert np.all(np.diff(t) > 0)
     np.testing.assert_allclose(acc[:, 0], t / 0.005, atol=1e-5)
@@ -94,7 +94,7 @@ def test_imu_buffer_window_decimation():
     buf = native.ImuBuffer(capacity=1024)
     for i in range(400):
         buf.add(i * 0.001, np.zeros(3, np.float32), np.zeros(3, np.float32))
-    t, acc, gyr = buf.window(0.0, 0.4, 32)
+    t, acc, gyr, q = buf.window(0.0, 0.4, 32)
     assert len(t) == 32
     assert np.all(np.diff(t) > 0)
 

@@ -34,8 +34,10 @@ def build_surf_map(rng, world_pts):
     m = ms.empty_map(MAP_CFG)
     # insert in two passes for density (thinning keeps spacing ~ plane_res/2)
     for chunk in np.array_split(world_pts, 2):
+        # bulk load: lift the per-frame streaming write cap
         m = ms.insert(m, MAP_CFG, jnp.asarray(chunk),
-                      jnp.ones(len(chunk), bool), 0.05)
+                      jnp.ones(len(chunk), bool), 0.05,
+                      max_writes=len(chunk))
     return m
 
 
