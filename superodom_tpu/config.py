@@ -58,6 +58,9 @@ class SensorProfile:
     # scatter cost ~ lane count; top_k compaction is ~5x cheaper per lane)
     compact_width: int = 32768
     skip_frame: int = 1  # process every k-th scan (featureExtraction.cpp:713)
+    # scan-stack spatial thinning: "voxel" (scatter-claim, exact),
+    # "range" (scatter-free r^2-stratified hash), "none" (even decimation)
+    scan_thin_mode: str = "voxel"
 
 
 # Sensor presets mirroring reference config/*.yaml
@@ -125,6 +128,9 @@ class MapConfig:
     # max point WRITES per insert call (update width drives TPU scatter cost;
     # steady-state survivors are few — see mapstate.insert)
     insert_width: int = 1024
+    # insert every k-th frame (consecutive 10 Hz scans overlap ~95%; the
+    # scatter into the big point table is the costliest op in the step)
+    insert_cadence: int = 1
     evict_radius: float = 250.0  # drop cells farther than this from the pose
     # The reference keeps 21x21x11 blocks x 50 m => ~500 m extent
     # (LocalMap.h:131-138); 250 m radius matches its usable neighborhood and
@@ -243,6 +249,11 @@ class PipelineConfig:
     # completes the edge+planar capability (LOAM lineage).
     use_edge_features: bool = False
     edge_curvature_threshold: float = 0.2
+    # LIO prediction source: propagate the smoother state through the
+    # preintegrated previous interval as the ICP initial guess (latent in
+    # the slim reference — statuses hardwired false, laserMapping.cpp:680;
+    # realized here because it predicts through acceleration transients)
+    enable_lio_prediction: bool = False
 
     def default_runtime(self) -> RuntimeParams:
         return RuntimeParams(

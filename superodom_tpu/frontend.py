@@ -291,6 +291,29 @@ def curvature_edge_extraction(
     return mask & neigh_ok & (curv > curvature_threshold) & (rng_norm > min_range)
 
 
+def range_stratified_mask(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    target: int,
+) -> jnp.ndarray:
+    """Scatter-free spatial thinning: per-point keep probability ~ r^2
+    (equalizing the 1/r^2 area density of a spinning lidar), thresholded
+    against a position-keyed hash so the decision is stable per surface
+    patch across scans.  Purely elementwise + one reduction — the TPU-cheap
+    stand-in for voxel-claim thinning when the scatter cost matters.
+    """
+    from superodom_tpu.ops.voxel import hash_coords, voxel_coords
+
+    r_sq = jnp.sum(xyz * xyz, axis=-1)
+    w = mask.astype(xyz.dtype)
+    scale = target / jnp.maximum(jnp.sum(jnp.minimum(r_sq, 1e4) * w), 1.0)
+    p = jnp.clip(jnp.minimum(r_sq, 1e4) * scale, 0.0, 1.0)
+    # position-keyed uniform in [0,1): fine-voxel hash -> stable per patch
+    h = hash_coords(voxel_coords(xyz, 0.1), 1).astype(jnp.uint32)
+    u = h.astype(jnp.float32) * (1.0 / 4294967296.0)
+    return mask & (u < p)
+
+
 def thin_and_select(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
@@ -298,16 +321,27 @@ def thin_and_select(
     capacity: int,
     compact_width: int,
     *extras: jnp.ndarray,
+    mode: str = "voxel",
 ):
-    """Voxel-thin masked lanes, then compact to ``capacity`` feature lanes.
+    """Spatially thin masked lanes, then compact to ``capacity`` feature
+    lanes (the role of the reference's downSizeFilterSurf,
+    laserMapping.cpp:643-645).
 
-    Scatters are the expensive op on TPU (measured ~15 ns/lane on v5e even
-    masked-out) while ``top_k`` compaction is ~5x cheaper, so wide clouds
-    are first compacted to ``compact_width`` lanes by even-rate decimation
-    and the voxel-claim scatter runs at the narrow width.  At OS1-128
-    density this cuts the frontend's dominant op ~2x for a <25% pre-thinning
-    decimation that the thinning itself subsumes.
+    Modes (TPU cost ranking — scatters are ~15 ns per LANE even masked):
+
+    * ``"voxel"``  — scatter-claim one point per ``res`` voxel; wide clouds
+      are first top_k-compacted to ``compact_width`` lanes (lossless when
+      compact_width >= the stride-selected count).
+    * ``"range"``  — scatter-free r^2-stratified hash thinning
+      (:func:`range_stratified_mask`): equalizes radial density, relies on
+      the even-rate final decimation for the rest.
+    * ``"none"``   — even-rate decimation only (near-field biased).
     """
+    if mode == "range":
+        keep = range_stratified_mask(xyz, mask, 3 * capacity)
+        return select_features(xyz, keep, capacity, *extras)
+    if mode == "none":
+        return select_features(xyz, mask, capacity, *extras)
     if xyz.shape[0] > compact_width:
         packed = select_features(xyz, mask, compact_width, *extras)
         xyz, mask, extras = packed[0], packed[1], tuple(packed[2:])

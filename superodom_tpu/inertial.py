@@ -269,26 +269,15 @@ def _imu_residuals(q_i, p_i, v_i, ba_i, bg_i, q_j, p_j, v_j, pre: Preintegrated,
     return r_q, r_v, r_p
 
 
-def smoother_update(
-    state: SmootherState,
-    cfg: ImuConfig,
-    lidar_pose_imu: Pose,
-    t_key,
-    imu: ImuWindow,
-) -> Tuple[SmootherState, Pose]:
-    """Shift in a new keyframe constrained by the lidar pose (expressed in
-    the IMU frame, i.e. already composed with lidar2Imu as in
-    imuPreintegration.cpp:284) and re-solve the window by dense GN.
-
-    Returns the updated window and the smoothed latest pose.
-    """
-    W = cfg.window_size
+def propagate_state(
+    state: SmootherState, cfg: ImuConfig, pre: Preintegrated
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Propagate the newest smoothed state through a preintegrated interval:
+    (q_pred, p_pred, v_pred) at the interval end.  This is the IMU-odometry
+    prediction (the reference's latent LIO prediction source and the state
+    bootstrap inside process_imu_odometry, imuPreintegration.cpp:369-396)."""
     dtype = state.p.dtype
     gravity_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
-
-    pre = preintegrate(imu, state.ba[-1], state.bg[-1], rate=cfg.imu_rate)
-
-    # propagate a predicted state for the new keyframe
     q_pred = quat_normalize(quat_mul(state.q[-1], pre.dq))
     dt = pre.dt
     v_pred = state.v[-1] + gravity_w * dt + quat_rotate(state.q[-1], pre.dv)
@@ -298,6 +287,34 @@ def smoother_update(
         + 0.5 * gravity_w * dt * dt
         + quat_rotate(state.q[-1], pre.dp)
     )
+    return q_pred, p_pred, v_pred
+
+
+def smoother_update(
+    state: SmootherState,
+    cfg: ImuConfig,
+    lidar_pose_imu: Pose,
+    t_key,
+    imu: ImuWindow,
+    pre: Preintegrated | None = None,
+) -> Tuple[SmootherState, Pose]:
+    """Shift in a new keyframe constrained by the lidar pose (expressed in
+    the IMU frame, i.e. already composed with lidar2Imu as in
+    imuPreintegration.cpp:284) and re-solve the window by dense GN.
+
+    ``pre`` may carry the interval's preintegration if the caller already
+    computed it (the pipeline shares it with the LIO prediction source).
+    Returns the updated window and the smoothed latest pose.
+    """
+    W = cfg.window_size
+    dtype = state.p.dtype
+    gravity_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
+
+    if pre is None:
+        pre = preintegrate(imu, state.ba[-1], state.bg[-1], rate=cfg.imu_rate)
+
+    # propagate a predicted state for the new keyframe
+    q_pred, p_pred, v_pred = propagate_state(state, cfg, pre)
 
     first = ~state.valid[-1]
     q_new = jnp.where(first, lidar_pose_imu.q, q_pred)

@@ -41,6 +41,8 @@ from superodom_tpu.geometry import (
 )
 from superodom_tpu.inertial import (
     SmootherState,
+    preintegrate,
+    propagate_state,
     smoother_init,
     smoother_update,
 )
@@ -170,12 +172,17 @@ def _select_prediction(
     state: OdomState,
     q_imu: jnp.ndarray,
     imu_available: jnp.ndarray,
+    lio_pose: Pose | None = None,
+    lio_available: jnp.ndarray | None = None,
 ) -> Tuple[Pose, jnp.ndarray, jnp.ndarray]:
     """Prediction-source state machine (reference setInitialGuess +
     selectPosePrediction + determinePredictionSource,
-    laserMapping.cpp:264-412).  LIO/NIO paths are latent in the slim
-    reference (statuses hardwired false, laserMapping.cpp:680-684); the VIO
-    path activates under degeneracy when an external pose is supplied."""
+    laserMapping.cpp:264-412).  The NIO path stays latent (as in the slim
+    reference, statuses hardwired false, laserMapping.cpp:680-684); the VIO
+    path activates under degeneracy when an external pose is supplied; the
+    LIO path (preintegrated smoother state propagated to the scan time) is
+    realized here — it predicts THROUGH acceleration transients that
+    IMU-orientation / constant-velocity prediction miss."""
     dtype = state.pose.t.dtype
     R_il = jnp.asarray(np.asarray(cfg.extrinsics.R_imu_laser), dtype)
     q_extr = quat_normalize(matrix_to_quat(R_il))
@@ -207,14 +214,19 @@ def _select_prediction(
     normal_pose = jax.tree_util.tree_map(
         lambda a, b: jnp.where(imu_available, a, b), imu_pose, cv_pose
     )
+    source = jnp.where(
+        imu_available, PRED_IMU_ORIENTATION, PRED_CONSTANT_VELOCITY
+    )
+    if lio_pose is not None:
+        use_lio = lio_available & imu_available
+        normal_pose = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_lio, a, b), lio_pose, normal_pose
+        )
+        source = jnp.where(use_lio, PRED_LIO_ODOM, source)
     normal_pose = jax.tree_util.tree_map(
         lambda a, b: jnp.where(use_vio, a, b), state.vio_pose, normal_pose
     )
-    source = jnp.where(
-        use_vio,
-        PRED_VIO_ODOM,
-        jnp.where(imu_available, PRED_IMU_ORIENTATION, PRED_CONSTANT_VELOCITY),
-    ).astype(jnp.int32)
+    source = jnp.where(use_vio, PRED_VIO_ODOM, source).astype(jnp.int32)
 
     in_startup = (state.startup_count > 0) & state.initialized
     pred = jax.tree_util.tree_map(
@@ -286,7 +298,7 @@ def step(
     # runs narrow (see frontend.thin_and_select).
     surf_raw, surf_mask, surf_trel = thin_and_select(
         scan.xyz, feat_mask, rt.plane_res, sensor.max_surface_features,
-        sensor.compact_width, scan.t_rel,
+        sensor.compact_width, scan.t_rel, mode=sensor.scan_thin_mode,
     )
     surf_u, q_w_orig_l, _ = undistort_points(
         surf_raw, surf_trel, surf_mask, scan.t_start, imu, R_il, t_il
@@ -314,8 +326,28 @@ def step(
         edge_mask = jnp.zeros((sensor.max_edge_features,), bool)
 
     # ---------------- prediction ------------------------------------------
+    # LIO source: preintegrate the carried previous interval ONCE; shared
+    # with the smoother below (integrate_imumeasurement's dual role in the
+    # reference, imuPreintegration.cpp:250-276)
+    lidar2imu = Pose(matrix_to_quat(R_il), t_il)
+    pre = preintegrate(state.prev_imu, state.smoother.ba[-1],
+                       state.smoother.bg[-1], rate=cfg.imu.imu_rate)
+    lio_pose = None
+    lio_available = None
+    if cfg.enable_lio_prediction:
+        q_lio, p_lio, _v = propagate_state(state.smoother, cfg.imu, pre)
+        lio_imu_pose = Pose(q_lio, p_lio)
+        lio_pose = lio_imu_pose.compose(lidar2imu.inverse())
+        # trust the propagated state once the window has real history and
+        # the interval actually carries IMU samples
+        lio_available = (
+            state.smoother.valid[0]
+            & ~state.smoother.failed
+            & (pre.dt > 1e-3)
+            & jnp.any(state.prev_imu.mask)
+        )
     pred_pose, source, use_vio = _select_prediction(
-        cfg, state, q_imu_pred, imu_available
+        cfg, state, q_imu_pred, imu_available, lio_pose, lio_available
     )
 
     # ---------------- scan-to-map registration ----------------------------
@@ -377,9 +409,18 @@ def step(
     )
     surf_world = pose.apply(surf_pts)
     edge_world = pose.apply(edge_pts)
-    surf_map = insert(
-        state.surf_map, cfg.map, surf_world, surf_mask & do_update_map,
-        rt.plane_res,
+    # insert on a cadence (lax.cond executes one branch): consecutive scans
+    # overlap almost entirely and the point-table scatter is the costliest
+    # op in the step; the first frames always insert to seed the map
+    do_insert = (state.frame_count % cfg.map.insert_cadence == 0) | (
+        state.frame_count < 8
+    )
+    surf_map = jax.lax.cond(
+        do_insert,
+        lambda mp: insert(mp, cfg.map, surf_world,
+                          surf_mask & do_update_map, rt.plane_res),
+        lambda mp: mp,
+        state.surf_map,
     )
     # evict on a cadence: a full-table distance pass every frame is wasted
     # work (the rolling region moves slowly); lax.cond executes one branch
@@ -390,9 +431,12 @@ def step(
         surf_map,
     )
     if cfg.use_edge_features:
-        edge_map = insert(
-            state.edge_map, cfg.map, edge_world, edge_mask & do_update_map,
-            rt.line_res,
+        edge_map = jax.lax.cond(
+            do_insert,
+            lambda mp: insert(mp, cfg.map, edge_world,
+                              edge_mask & do_update_map, rt.line_res),
+            lambda mp: mp,
+            state.edge_map,
         )
         edge_map = jax.lax.cond(
             state.frame_count % 8 == 0,
@@ -407,11 +451,12 @@ def step(
     # The IMU factor between keyframes k-1 -> k preintegrates the PAST
     # interval (the previous scan's window, carried in state), matching the
     # reference's integrate-up-to-correction-time semantics
-    # (imuPreintegration.cpp:250-276).
-    lidar2imu = Pose(matrix_to_quat(R_il), t_il)
+    # (imuPreintegration.cpp:250-276).  ``pre`` was computed for the LIO
+    # prediction above.
     pose_imu_frame = pose.compose(lidar2imu)
     smoother, smoothed_imu = smoother_update(
-        state.smoother, cfg.imu, pose_imu_frame, scan.t_start, state.prev_imu
+        state.smoother, cfg.imu, pose_imu_frame, scan.t_start,
+        state.prev_imu, pre=pre,
     )
     smoothed_pose = smoothed_imu.compose(lidar2imu.inverse())
 

@@ -45,6 +45,7 @@ from superodom_tpu.mapstate import (
 )
 from superodom_tpu.ops.eigh3 import eigh3
 from superodom_tpu.ops.pallas_knn import select_knn_pallas
+from superodom_tpu.ops.smallsolve import inv6_spd, solve6_spd
 
 # MatchingResult codes (reference LidarSlam.h:85-94)
 MATCH_SUCCESS = 0
@@ -470,7 +471,9 @@ def gauss_newton_solve(
         H, g, _ = _accumulate_normal_system(p, planes, edges, rt, prior,
                                             use_edges)
         Hd = H + damping * jnp.eye(6, dtype=g.dtype) * (1.0 + jnp.diag(H))
-        delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), g)
+        # unrolled 6x6 Cholesky fuses into the GN chain (a cho_factor custom
+        # call per iteration serializes 12-16 tiny ops per scan)
+        delta = -solve6_spd(Hd, g)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         p_new = apply_se3_update(p, delta)
         step_small = jnp.linalg.norm(delta) < 1e-6
@@ -492,7 +495,7 @@ def estimate_registration_error(H: jnp.ndarray) -> RegistrationError:
     cov = H^-1, then eigenanalysis of the position and orientation blocks."""
     dtype = H.dtype
     Hd = H + 1e-6 * jnp.eye(6, dtype=dtype)
-    cov = jnp.linalg.inv(Hd)
+    cov = inv6_spd(Hd)
     evals_p, evecs_p = eigh3(cov[:3, :3])
     evals_r, evecs_r = eigh3(cov[3:, 3:])
     sqrt = lambda x: jnp.sqrt(jnp.maximum(x, 0.0))

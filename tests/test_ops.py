@@ -115,3 +115,34 @@ def test_pallas_knn_select_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(p_sq), np.asarray(r_sq), atol=1e-5)
     np.testing.assert_allclose(np.asarray(p_pts), np.asarray(r_pts), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(p_v), np.asarray(r_v))
+
+
+def test_solve6_spd_matches_linalg(rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superodom_tpu.ops.smallsolve import inv6_spd, solve6_spd
+
+    for _ in range(5):
+        A = rng.normal(size=(6, 6))
+        H = A @ A.T + 0.5 * np.eye(6)
+        g = rng.normal(size=6)
+        x = np.asarray(solve6_spd(jnp.asarray(H, jnp.float32),
+                                  jnp.asarray(g, jnp.float32)))
+        np.testing.assert_allclose(x, np.linalg.solve(H, g), rtol=2e-3,
+                                   atol=2e-4)
+        Hi = np.asarray(inv6_spd(jnp.asarray(H, jnp.float32)))
+        np.testing.assert_allclose(Hi, np.linalg.inv(H), rtol=2e-3,
+                                   atol=2e-4)
+
+
+def test_solve6_spd_illconditioned_stays_finite():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superodom_tpu.ops.smallsolve import solve6_spd
+
+    # rank-deficient H: guarded sqrt must keep the output finite
+    H = jnp.zeros((6, 6), jnp.float32).at[0, 0].set(1.0)
+    x = solve6_spd(H, jnp.ones(6, jnp.float32))
+    assert bool(jnp.all(jnp.isfinite(x)))
