@@ -23,7 +23,9 @@ import numpy as np
 BASELINE_SCANS_PER_SEC = 200.0  # north-star target (BASELINE.md)
 
 
-def _config(name):
+def _config(name, tuned=True):
+    import dataclasses
+
     from superodom_tpu.config import (
         ImuConfig,
         LIVOX_MID360,
@@ -35,13 +37,29 @@ def _config(name):
     )
 
     sensor = {"os1": OS1_128, "vlp16": VLP_16, "livox": LIVOX_MID360}[name]
-    return PipelineConfig(
+    cfg = PipelineConfig(
         sensor=sensor,
         map=MapConfig(),
         registration=RegistrationConfig(),
         imu=ImuConfig(),
         auto_voxel_size=False,
     )
+    if tuned and name == "os1":  # only the OS1 replay was A/B-validated
+        # TPU replay tuning, selected by 3-repeat medians with the ATE guard
+        # (tools/profile_final*.py): cell_capacity 16 halves the gather +
+        # point-table size at identical ATE; 2 ICP extraction rounds match
+        # the early-exit behavior of 4 on tracking sequences; even-rate
+        # scan decimation replaces the voxel-claim scatter (the costliest
+        # frontend op) at OS1 density; 2 smoother GN iterations converge
+        # within the window's tight lidar priors.
+        cfg = dataclasses.replace(
+            cfg,
+            sensor=dataclasses.replace(sensor, scan_thin_mode="none"),
+            map=MapConfig(cell_capacity=16),
+            registration=RegistrationConfig(max_icp_iters=2),
+            imu=ImuConfig(smoother_gn_iters=2),
+        )
+    return cfg
 
 
 def _dataset(cfg, n_scans, seed=7):

@@ -131,6 +131,7 @@ class MapConfig:
     # insert every k-th frame (consecutive 10 Hz scans overlap ~95%; the
     # scatter into the big point table is the costliest op in the step)
     insert_cadence: int = 1
+    evict_cadence: int = 8  # full-table eviction pass every k-th frame
     evict_radius: float = 250.0  # drop cells farther than this from the pose
     # The reference keeps 21x21x11 blocks x 50 m => ~500 m extent
     # (LocalMap.h:131-138); 250 m radius matches its usable neighborhood and
@@ -153,8 +154,6 @@ class RegistrationConfig:
     trans_converge_tol: float = 1e-3  # declares ICP converged (m)
     rot_converge_tol: float = 1e-3  # declares ICP converged (rad)
     icp_early_exit: bool = True  # while_loop break vs fixed masked scan
-    # fused Pallas KNN-select kernel (TPU only; CPU tests use interpret mode)
-    use_pallas_select: bool = False
     # Degenerate-environment handling (SuperLoc alignment risk):
     pos_degeneracy_threshold: float = 0.1
     ori_degeneracy_threshold: float = 0.1

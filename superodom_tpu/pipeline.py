@@ -128,6 +128,17 @@ def empty_imu_window(m: int, dtype=jnp.float32) -> ImuWindow:
     )
 
 
+def edge_map_config(cfg: PipelineConfig) -> "MapConfig":
+    """The edge map's table config: full-size when edge features are on,
+    minimal otherwise (no reason to carry + census a 10+ MB unused table)."""
+    import dataclasses as _dc
+
+    if cfg.use_edge_features:
+        return cfg.map
+    return _dc.replace(cfg.map, table_size=64, bucket_size=8,
+                       cell_capacity=4)
+
+
 def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdomState:
     loc = cfg.localization
     if loc.enabled:
@@ -149,7 +160,7 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdomState:
             line_res=jnp.asarray(cfg.sensor.default_line_res, dtype),
             plane_res=jnp.asarray(cfg.sensor.default_plane_res, dtype),
         ),
-        edge_map=empty_map(cfg.map, dtype),
+        edge_map=empty_map(edge_map_config(cfg), dtype),
         surf_map=empty_map(cfg.map, dtype),
         smoother=smoother_init(cfg.imu, dtype),
         degenerate=jnp.asarray(False),
@@ -412,37 +423,40 @@ def step(
     # insert on a cadence (lax.cond executes one branch): consecutive scans
     # overlap almost entirely and the point-table scatter is the costliest
     # op in the step; the first frames always insert to seed the map
+    # NOTE: a lax.cond whose identity branch passes the (tens of MB) map
+    # through forces a buffer copy on the skipped frames; use conds only
+    # when the cadence actually skips work (cadence > 1)
+    def _cadenced(pred_static_on, pred, fn, mp):
+        if pred_static_on:
+            return fn(mp)
+        return jax.lax.cond(pred, fn, lambda m: m, mp)
+
     do_insert = (state.frame_count % cfg.map.insert_cadence == 0) | (
         state.frame_count < 8
     )
-    surf_map = jax.lax.cond(
-        do_insert,
+    surf_map = _cadenced(
+        cfg.map.insert_cadence == 1, do_insert,
         lambda mp: insert(mp, cfg.map, surf_world,
                           surf_mask & do_update_map, rt.plane_res),
-        lambda mp: mp,
         state.surf_map,
     )
     # evict on a cadence: a full-table distance pass every frame is wasted
-    # work (the rolling region moves slowly); lax.cond executes one branch
-    surf_map = jax.lax.cond(
-        state.frame_count % 8 == 0,
-        lambda mp: evict_far(mp, cfg.map, pose.t),
-        lambda mp: mp,
-        surf_map,
+    # work (the rolling region moves slowly) — unless conds cost more
+    do_evict = state.frame_count % cfg.map.evict_cadence == 0
+    surf_map = _cadenced(
+        cfg.map.evict_cadence == 1, do_evict,
+        lambda mp: evict_far(mp, cfg.map, pose.t), surf_map,
     )
     if cfg.use_edge_features:
-        edge_map = jax.lax.cond(
-            do_insert,
+        edge_map = _cadenced(
+            cfg.map.insert_cadence == 1, do_insert,
             lambda mp: insert(mp, cfg.map, edge_world,
                               edge_mask & do_update_map, rt.line_res),
-            lambda mp: mp,
             state.edge_map,
         )
-        edge_map = jax.lax.cond(
-            state.frame_count % 8 == 0,
-            lambda mp: evict_far(mp, cfg.map, pose.t),
-            lambda mp: mp,
-            edge_map,
+        edge_map = _cadenced(
+            cfg.map.evict_cadence == 1, do_evict,
+            lambda mp: evict_far(mp, cfg.map, pose.t), edge_map,
         )
     else:
         edge_map = state.edge_map
@@ -538,8 +552,16 @@ def _vio_information(state, surf_mask, reg, dtype):
     return jnp.concatenate([w_t, w_rp, w_yaw])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def make_step_fn(cfg: PipelineConfig):
-    """jit-compiled step with the config closed over (static)."""
+    """jit-compiled step with the config closed over (static).
+
+    Cached by config (frozen dataclasses hash) so repeated runners with the
+    same config reuse one compiled program.
+    """
 
     def _step(state, scan, imu, imu_available):
         return step(cfg, state, scan, imu, imu_available)
@@ -547,6 +569,7 @@ def make_step_fn(cfg: PipelineConfig):
     return jax.jit(_step)
 
 
+@functools.lru_cache(maxsize=32)
 def make_chunked_step_fn(cfg: PipelineConfig):
     """jit-compiled replay of a CHUNK of scans via lax.scan.
 

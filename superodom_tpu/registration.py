@@ -44,7 +44,6 @@ from superodom_tpu.mapstate import (
     select_knn,
 )
 from superodom_tpu.ops.eigh3 import eigh3
-from superodom_tpu.ops.pallas_knn import select_knn_pallas
 from superodom_tpu.ops.smallsolve import inv6_spd, solve6_spd
 
 # MatchingResult codes (reference LidarSlam.h:85-94)
@@ -127,10 +126,16 @@ class IcpStats(NamedTuple):
 
 
 def _select(cand, cvalid, w_pt, k, reg: RegistrationConfig):
-    """KNN selection from gathered candidates: fused Pallas kernel when
-    enabled (1.7x the XLA path on v5e), XLA fallback otherwise."""
-    if reg.use_pallas_select and cand.shape[0] % 128 == 0:
-        return select_knn_pallas(cand, cvalid, w_pt, k)
+    """KNN selection from gathered candidates.
+
+    This is deliberately the plain XLA path.  A hand-written Pallas kernel
+    (fused distance + masked k-min in VMEM) measured 1.7x faster in
+    ISOLATION on v5e but ~8% slower inside the pipeline: XLA fuses the
+    distance computation into the candidate gather, and the kernel's
+    coordinate-major layout forced a real transpose copy.  Random per-query
+    row gathers themselves cannot beat XLA from Pallas on TPU — they would
+    need one scalar-indexed DMA per row.  (Removed kernel: git history,
+    ops/pallas_knn.py.)"""
     return select_knn(cand, cvalid, w_pt, k)
 
 

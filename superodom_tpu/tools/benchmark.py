@@ -79,6 +79,15 @@ def stats_summary(stats: List[dict]) -> Dict:
     if unc:
         u = np.asarray(unc)
         out["uncertainty_mean"] = u.mean(axis=0).tolist()
+    # per-scan processing time (OptimizationStats.msg:9-10 time_elapsed)
+    lat = [s["time_elapsed_ms"] for s in stats if "time_elapsed_ms" in s]
+    if lat:
+        la = np.asarray(lat)
+        out["time_elapsed_ms"] = {
+            "p50": float(np.percentile(la, 50)),
+            "p90": float(np.percentile(la, 90)),
+            "max": float(la.max()),
+        }
     return out
 
 

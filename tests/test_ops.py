@@ -97,26 +97,6 @@ def test_uniform_stride_mask():
     np.testing.assert_array_equal(np.where(m)[0], [1, 4, 7])
 
 
-def test_pallas_knn_select_matches_xla(rng):
-    """The fused Pallas KNN-select kernel (interpret mode on CPU) must match
-    mapstate.select_knn exactly."""
-    import jax.numpy as jnp
-
-    from superodom_tpu.mapstate import select_knn
-    from superodom_tpu.ops.pallas_knn import select_knn_pallas
-
-    Q, NC, K = 64, 128, 5
-    cand = jnp.asarray(rng.uniform(-5, 5, (Q, NC, 3)).astype(np.float32))
-    cvalid = jnp.asarray(rng.uniform(size=(Q, NC)) < 0.7)
-    q = jnp.asarray(rng.uniform(-5, 5, (Q, 3)).astype(np.float32))
-    r_pts, r_sq, r_v = select_knn(cand, cvalid, q, K)
-    p_pts, p_sq, p_v = select_knn_pallas(cand, cvalid, q, K, tile_q=32,
-                                         interpret=True)
-    np.testing.assert_allclose(np.asarray(p_sq), np.asarray(r_sq), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(p_pts), np.asarray(r_pts), atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(p_v), np.asarray(r_v))
-
-
 def test_solve6_spd_matches_linalg(rng):
     import jax.numpy as jnp
     import numpy as np
