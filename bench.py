@@ -45,18 +45,18 @@ def _config(name, tuned=True):
         auto_voxel_size=False,
     )
     if tuned and name == "os1":  # only the OS1 replay was A/B-validated
-        # TPU replay tuning, selected by 3-repeat medians with the ATE guard
-        # (tools/profile_final*.py): cell_capacity 16 halves the gather +
-        # point-table size at identical ATE; 2 ICP extraction rounds match
-        # the early-exit behavior of 4 on tracking sequences; even-rate
-        # scan decimation replaces the voxel-claim scatter (the costliest
-        # frontend op) at OS1 density; 2 smoother GN iterations converge
-        # within the window's tight lidar priors.
+        # TPU replay tuning, selected by repeated medians with the ATE guard
+        # (tools/profile_final*.py, tools/profile_n120.py): cell_capacity 16
+        # halves the gather + point-table size at identical ATE; ONE ICP
+        # extraction round (+4 GN) both tracks best (ATE 0.064 at n=120 vs
+        # 0.092 at two rounds) and is fastest; voxel-claim scan thinning is
+        # LOAD-BEARING for drift (even-rate-only thinning drifted to ~1 m
+        # over 12 s); 2 smoother GN iterations converge within the window's
+        # tight lidar priors.
         cfg = dataclasses.replace(
             cfg,
-            sensor=dataclasses.replace(sensor, scan_thin_mode="none"),
             map=MapConfig(cell_capacity=16),
-            registration=RegistrationConfig(max_icp_iters=2),
+            registration=RegistrationConfig(max_icp_iters=1),
             imu=ImuConfig(smoother_gn_iters=2),
         )
     return cfg
