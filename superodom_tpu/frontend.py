@@ -225,6 +225,36 @@ def _matrix_quat(R: jnp.ndarray, dtype) -> jnp.ndarray:
     return matrix_to_quat(R.astype(dtype))
 
 
+def uniform_feature_gates(
+    xyz: jnp.ndarray,
+    prev: jnp.ndarray,
+    mask: jnp.ndarray,
+    min_range: float,
+    max_range: float,
+    skip_dup: bool = False,
+):
+    """Point-quality gates of uniformFeatureExtraction
+    (featureExtraction.cpp:504-525) WITHOUT the stride selection: duplicate
+    of the preceding raw point, blind-zone, max-range, finite.  ``prev`` is
+    each lane's predecessor in the raw cloud; pass ``skip_dup=True`` when
+    the duplicate gate already ran on host (runner.make_scan's decimated
+    layout) — ``prev`` is then ignored."""
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    in_range = (rng_sq > min_range**2) & (rng_sq < max_range**2)
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    out = mask & in_range & finite
+    if not skip_dup:
+        dup = jnp.all(jnp.abs(xyz - prev) <= 1e-7, axis=-1)
+        out = out & ~dup
+    return out
+
+
+def decimated_width(max_points: int, stride: int) -> int:
+    """Lane count of the host-decimated scan layout: the lanes
+    uniform_stride_mask selects (indices 1, 1+s, 1+2s, ... < max_points)."""
+    return len(range(1, max_points, stride))
+
+
 def uniform_feature_extraction(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
@@ -246,11 +276,8 @@ def uniform_feature_extraction(
     n = xyz.shape[0]
     stride_m = uniform_stride_mask(n, stride)
     prev = jnp.roll(xyz, 1, axis=0)
-    dup = jnp.all(jnp.abs(xyz - prev) <= 1e-7, axis=-1)
-    rng_sq = jnp.sum(xyz * xyz, axis=-1)
-    in_range = (rng_sq > min_range**2) & (rng_sq < max_range**2)
-    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
-    return mask & stride_m & ~dup & in_range & finite
+    return stride_m & uniform_feature_gates(xyz, prev, mask, min_range,
+                                            max_range)
 
 
 def curvature_edge_extraction(
@@ -322,6 +349,7 @@ def thin_and_select(
     compact_width: int,
     *extras: jnp.ndarray,
     mode: str = "voxel",
+    table_bits: int = 0,
 ):
     """Spatially thin masked lanes, then compact to ``capacity`` feature
     lanes (the role of the reference's downSizeFilterSurf,
@@ -345,7 +373,10 @@ def thin_and_select(
     if xyz.shape[0] > compact_width:
         packed = select_features(xyz, mask, compact_width, *extras)
         xyz, mask, extras = packed[0], packed[1], tuple(packed[2:])
-    keep = voxel_downsample_scatter(xyz, mask, res)
+    # callers that pre-slice lanes pass the pre-slice width's table_bits so
+    # the claim table's collision statistics (hence the survivor set) match
+    # the full-width path exactly
+    keep = voxel_downsample_scatter(xyz, mask, res, table_bits=table_bits)
     return select_features(xyz, keep, capacity, *extras)
 
 

@@ -22,9 +22,11 @@ from superodom_tpu.frontend import (
     ImuWindow,
     Scan,
     curvature_edge_extraction,
+    decimated_width,
     thin_and_select,
     undistort_points,
     uniform_feature_extraction,
+    uniform_feature_gates,
 )
 from superodom_tpu.geometry import (
     Pose,
@@ -295,12 +297,44 @@ def step(
     # normal platform speeds) is far below the thinning resolution, and the
     # reference only undistorts everything because it republishes the full
     # cloud, which this pipeline does not.
-    feat_mask = uniform_feature_extraction(
-        scan.xyz, scan.mask, sensor.filter_point_size, sensor.min_range,
-        sensor.max_range,
-    )
+    #
+    # Two static scan layouts (dispatched on the input width):
+    # * HOST-DECIMATED (runner.make_scan, edge features off): the stride +
+    #   duplicate gates already ran on host over contiguous numpy views, the
+    #   device receives only the ~N/stride candidate lanes.  A device-side
+    #   strided slice is NOT equivalent: XLA lowers it to per-row gathers
+    #   (~0.3 ms per 44k-lane slice on v5e, measured) while the host slice
+    #   is free and cuts upload bandwidth by the stride factor.
+    # * FULL-WIDTH (edge extraction needs the raw ring-major cloud): stride
+    #   and duplicate gates run on device, wide ops are top_k-compacted.
+    pre_decimated = scan.xyz.shape[0] < sensor.max_points
+    if pre_decimated:
+        if cfg.use_edge_features:
+            raise ValueError(
+                "edge extraction needs the full ring-major cloud; "
+                "pass full-width scans when use_edge_features=True"
+            )
+        if scan.xyz.shape[0] != decimated_width(
+            sensor.max_points, sensor.filter_point_size
+        ):
+            raise ValueError(
+                f"scan width {scan.xyz.shape[0]} is neither max_points "
+                f"({sensor.max_points}) nor the decimated width "
+                f"({decimated_width(sensor.max_points, sensor.filter_point_size)})"
+            )
+        sxyz, strel = scan.xyz, scan.t_rel
+        feat_mask = uniform_feature_gates(
+            sxyz, jnp.zeros((1, 3), dtype), scan.mask,
+            sensor.min_range, sensor.max_range, skip_dup=True,
+        )
+    else:
+        sxyz, strel = scan.xyz, scan.t_rel
+        feat_mask = uniform_feature_extraction(
+            scan.xyz, scan.mask, sensor.filter_point_size, sensor.min_range,
+            sensor.max_range,
+        )
 
-    rt, average_distance = _adjust_voxel_size(cfg, state.rt, scan.xyz, feat_mask)
+    rt, average_distance = _adjust_voxel_size(cfg, state.rt, sxyz, feat_mask)
 
     # scan-stack voxel thinning (the role of downSizeFilterSurf,
     # laserMapping.cpp:643-645).  Scatter-claim keeps the first point per
@@ -308,8 +342,9 @@ def step(
     # full argsorts; wide clouds are top_k-compacted first so the scatter
     # runs narrow (see frontend.thin_and_select).
     surf_raw, surf_mask, surf_trel = thin_and_select(
-        scan.xyz, feat_mask, rt.plane_res, sensor.max_surface_features,
-        sensor.compact_width, scan.t_rel, mode=sensor.scan_thin_mode,
+        sxyz, feat_mask, rt.plane_res, sensor.max_surface_features,
+        sensor.compact_width, strel, mode=sensor.scan_thin_mode,
+        table_bits=max((sensor.max_points * 4 - 1).bit_length(), 4),
     )
     surf_u, q_w_orig_l, _ = undistort_points(
         surf_raw, surf_trel, surf_mask, scan.t_start, imu, R_il, t_il

@@ -154,16 +154,43 @@ class OdometryRunner:
     # ---------------- scan processing --------------------------------------
     def make_scan(self, t_start: float, xyz: np.ndarray, t_rel: np.ndarray,
                   ring: Optional[np.ndarray] = None) -> Scan:
+        """Pack a raw cloud into the device Scan layout.
+
+        When edge features are off and ``filter_point_size > 1``, the
+        uniform stride selection + duplicate gate (featureExtraction.cpp:
+        504-525) run HERE over contiguous numpy views and only the
+        ~max_points/stride candidate lanes ship to the device: a device-side
+        strided slice lowers to per-row gathers (~0.3 ms per 44k-lane slice
+        on v5e) while the host slice is free, and the upload shrinks by the
+        stride factor.  Edge mode keeps the full ring-major cloud (the
+        curvature extractor needs raw neighbors)."""
         n_max = self.cfg.sensor.max_points
+        stride = self.cfg.sensor.filter_point_size
         n = min(len(xyz), n_max)
         xyz_arr = np.zeros((n_max, 3), np.float32)
         t_arr = np.zeros((n_max,), np.float32)
-        ring_arr = np.zeros((n_max,), np.int32)
         xyz_arr[:n] = xyz[:n]
         t_arr[:n] = t_rel[:n]
+        mask = np.arange(n_max) < n
+
+        if stride > 1 and not self.cfg.use_edge_features:
+            from superodom_tpu.frontend import decimated_width
+
+            w = decimated_width(n_max, stride)
+            cand = xyz_arr[1::stride][:w]
+            prev = xyz_arr[0::stride][:w]
+            dup = np.all(np.abs(cand - prev) <= 1e-7, axis=-1)
+            return Scan(
+                xyz=jnp.asarray(cand, self.dtype),
+                t_rel=jnp.asarray(t_arr[1::stride][:w], self.dtype),
+                mask=jnp.asarray(mask[1::stride][:w] & ~dup),
+                t_start=jnp.asarray(t_start, self.dtype),
+                ring=jnp.zeros((w,), jnp.int32),
+            )
+
+        ring_arr = np.zeros((n_max,), np.int32)
         if ring is not None:
             ring_arr[:n] = ring[:n]
-        mask = np.arange(n_max) < n
         return Scan(
             xyz=jnp.asarray(xyz_arr, self.dtype),
             t_rel=jnp.asarray(t_arr, self.dtype),
