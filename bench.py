@@ -46,15 +46,18 @@ def _config(name, tuned=True):
     )
     if tuned and name == "os1":  # only the OS1 replay was A/B-validated
         # TPU replay tuning, selected by repeated medians with the ATE guard
-        # (tools/profile_final*.py, tools/profile_n120.py): cell_capacity 16
-        # halves the gather + point-table size at identical ATE; ONE ICP
-        # extraction round (+4 GN) both tracks best (ATE 0.064 at n=120 vs
-        # 0.092 at two rounds) and is fastest; voxel-claim scan thinning is
-        # LOAD-BEARING for drift (even-rate-only thinning drifted to ~1 m
-        # over 12 s); 2 smoother GN iterations converge within the window's
-        # tight lidar priors.
+        # (tools/profile_final*.py, profile_n120.py, profile_r2a.py):
+        # cell_capacity 16 halves the gather + point-table size at identical
+        # ATE; ONE ICP extraction round (+4 GN) both tracks best and is
+        # fastest; r^2-stratified hash thinning ("range") beats the
+        # voxel-claim scatter (267 vs 229 scans/s at n=120) at equal-or-
+        # better ATE (0.077 vs 0.082) — spatial thinning IS load-bearing
+        # (even-rate-only decimation drifted ~1 m over 12 s) but the
+        # scatter-free stratified form suffices; 2 smoother GN iterations
+        # converge within the window's tight lidar priors.
         cfg = dataclasses.replace(
             cfg,
+            sensor=dataclasses.replace(sensor, scan_thin_mode="range"),
             map=MapConfig(cell_capacity=16),
             registration=RegistrationConfig(max_icp_iters=1),
             imu=ImuConfig(smoother_gn_iters=2),
@@ -79,7 +82,7 @@ def _dataset(cfg, n_scans, seed=7):
     )
 
 
-def bench_single(sensor_name="os1", n_scans=60, preload=True, chunk=None):
+def bench_single(sensor_name="os1", n_scans=120, preload=True, chunk=None):
     import numpy as np
 
     from superodom_tpu.io.datasets import ate_rmse

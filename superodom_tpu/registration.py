@@ -609,11 +609,14 @@ def icp_register(
         return planes, lines
 
     def outer(carry):
-        # loop rotation: solve with the carried correspondences (computed at
-        # this carry's pose), then extract fresh ones at the updated pose for
-        # the next round — avoids evaluating correspondences twice per pose
-        pose, converged, it, (planes, lines), stats_arr = carry
+        # extract-at-body-start: one extraction per iteration, and the LAST
+        # extraction (carried out) is what the final H / stats evaluate on —
+        # matching the reference, whose covariance comes from the final Ceres
+        # problem, i.e. correspondences fixed at the last iteration's start
+        # and evaluated at the solved pose (LidarSlam.cpp:230-240, 854-889)
+        pose, converged, it, _prev, stats_arr = carry
         t_norms, r_norms, surf_ns, edge_ns = stats_arr
+        planes, lines = correspondences(pose)
         new_pose, one_step = gauss_newton_solve(
             pose, planes, lines, rt, reg.max_gn_iters, prior,
             use_edges=use_edges,
@@ -644,15 +647,30 @@ def icp_register(
         now_converged = converged | one_step | (
             (rel_t < reg.trans_converge_tol) & (rel_r < reg.rot_converge_tol)
         )
-        new_corrs = correspondences(new_pose)
         return (new_pose, now_converged, it + live.astype(jnp.int32),
-                new_corrs, stats_arr)
+                (planes, lines), stats_arr)
 
     def cond(carry):
         _pose, converged, it, _corrs, _stats = carry
         return jnp.logical_not(converged) & (it < max_it)
 
-    init_planes, init_lines = correspondences(pose0)
+    # placeholder correspondences: the body always runs at least once
+    # (converged starts False), so these never reach the final H
+    ms = surf_pts.shape[0]
+    ne0 = edge_pts.shape[0]
+    init_planes = PlaneCorrs(
+        p_body=surf_pts, normal=jnp.zeros((ms, 3), dtype),
+        d=jnp.zeros((ms,), dtype), coeff=jnp.zeros((ms,), dtype),
+        valid=jnp.zeros((ms,), bool),
+        code=jnp.full((ms,), MATCH_UNKNOWN, jnp.int32),
+        obs_bins=jnp.full((ms, 3), -1, jnp.int32),
+    )
+    init_lines = EdgeCorrs(
+        p_body=edge_pts, a=jnp.zeros((ne0, 3), dtype),
+        b=jnp.ones((ne0, 3), dtype), coeff=jnp.zeros((ne0,), dtype),
+        valid=jnp.zeros((ne0,), bool),
+        code=jnp.full((ne0,), MATCH_UNKNOWN, jnp.int32),
+    )
     stats0 = (
         jnp.zeros((max_it,), dtype),
         jnp.zeros((max_it,), dtype),
