@@ -183,3 +183,100 @@ def test_undistort_posed_path():
     # scan-start pose is identity -> output == world coords
     np.testing.assert_allclose(np.asarray(out), p_w, atol=5e-3)
     np.testing.assert_allclose(np.asarray(t0), 0.0, atol=1e-5)
+
+
+def test_host_decimated_layout_matches_full_width():
+    """runner.make_scan's host-side stride+dup decimation must select exactly
+    the lanes the full-width device path (uniform_feature_extraction) would:
+    same candidate set, same feature gates, same t_rel."""
+    import dataclasses
+
+    from superodom_tpu.config import PipelineConfig, SensorProfile
+    from superodom_tpu.runner import OdometryRunner
+
+    sensor = SensorProfile(
+        name="velodyne", n_scan_lines=16, max_points=1024, min_range=0.2,
+        max_range=130.0, filter_point_size=3, max_surface_features=128,
+        max_edge_features=32, scan_period=0.1, default_line_res=0.1,
+        default_plane_res=0.2,
+    )
+    cfg = PipelineConfig(sensor=sensor, auto_voxel_size=False)
+    rng = np.random.default_rng(3)
+    n = 900
+    xyz = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+    xyz[100] = xyz[99]  # duplicate return
+    xyz[202] = xyz[201]  # duplicate landing on a stride lane (202 = 1+3*67)
+    xyz[301] = 0.01  # blind zone
+    t_rel = np.linspace(0, 0.1, n).astype(np.float32)
+
+    # full-width reference path
+    full = np.zeros((1024, 3), np.float32)
+    full[:n] = xyz
+    mask_full = np.arange(1024) < n
+    fm = fe.uniform_feature_extraction(
+        jnp.asarray(full), jnp.asarray(mask_full), 3, 0.2, 130.0)
+    full_idx = np.where(np.asarray(fm))[0]
+
+    # host-decimated path
+    runner = OdometryRunner(cfg)
+    scan = runner.make_scan(0.0, xyz, t_rel)
+    w = fe.decimated_width(1024, 3)
+    assert scan.xyz.shape == (w, 3)
+    gates = fe.uniform_feature_gates(
+        scan.xyz, jnp.zeros((1, 3), jnp.float32), scan.mask, 0.2, 130.0,
+        skip_dup=True)
+    dec_idx = 1 + 3 * np.where(np.asarray(gates))[0]
+    np.testing.assert_array_equal(full_idx, dec_idx)
+    # t_rel of selected lanes matches the raw per-point times
+    sel_lanes = np.where(np.asarray(gates))[0]
+    np.testing.assert_allclose(
+        np.asarray(scan.t_rel)[sel_lanes], t_rel[1::3][: w][sel_lanes])
+
+
+def test_decimated_and_full_width_pipeline_agree():
+    """End-to-end: replaying the same dataset through the decimated runner
+    and through hand-built full-width scans lands on the same trajectory
+    (identical feature candidates; thinning table sizes are matched)."""
+    import dataclasses
+
+    from superodom_tpu.io.datasets import BoxWorld, make_dataset
+    from superodom_tpu.runner import OdometryRunner
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(11)
+    ds = make_dataset(rng, n_scans=12, points_per_scan=3000, radius=2.0,
+                      world=BoxWorld(half_extent=np.array([8.0, 6.0, 3.0])))
+
+    r_dec = OdometryRunner(cfg)
+    res_dec = r_dec.run_dataset(ds, use_imu=True)
+
+    cfg_full = dataclasses.replace(cfg, use_edge_features=False)
+    r_full = OdometryRunner(cfg_full)
+    # bypass decimation by building full-width scans directly
+    import superodom_tpu.runner as rn
+
+    outs = []
+    imu_i = 0
+    for s in ds.scans:
+        t_end = s.t_start + float(s.t_rel[-1])
+        while imu_i < len(ds.imu.t) and ds.imu.t[imu_i] <= t_end + 0.02:
+            r_full.add_imu(ds.imu.t[imu_i], ds.imu.acc[imu_i],
+                           ds.imu.gyr[imu_i])
+            imu_i += 1
+        n_max = cfg.sensor.max_points
+        nn = min(len(s.xyz_body), n_max)
+        xyz_arr = np.zeros((n_max, 3), np.float32)
+        t_arr = np.zeros((n_max,), np.float32)
+        xyz_arr[:nn] = s.xyz_body[:nn]
+        t_arr[:nn] = s.t_rel[:nn]
+        scan = rn.Scan(
+            xyz=jnp.asarray(xyz_arr), t_rel=jnp.asarray(t_arr),
+            mask=jnp.asarray(np.arange(n_max) < nn),
+            t_start=jnp.asarray(s.t_start, jnp.float32),
+            ring=jnp.zeros((n_max,), jnp.int32))
+        win, ok = r_full._imu_window(s.t_start, t_end)
+        r_full.state, out = r_full.step_fn(r_full.state, scan, win,
+                                           jnp.asarray(ok))
+        outs.append(np.asarray(out.pose.t))
+    np.testing.assert_allclose(res_dec.poses_t, np.stack(outs), atol=2e-2)
