@@ -54,8 +54,19 @@ _COORD_PERIOD = 1 << _COORD_BITS  # 1024 cells before wrap
 
 
 class VoxelHashMap(NamedTuple):
+    """Bucketized voxel-hash table.
+
+    ``pts`` is stored slot-major with the COORDINATE axis ahead of the
+    capacity axis ([NB, B, 3, C], one contiguous 3xC block per slot).  The
+    natural [NB, B, C, 3] layout puts a size-3 axis minormost, which no TPU
+    tiling likes: XLA's layout assignment then relays the whole multi-MB
+    table out between the KNN gather and the insert scatter EVERY step
+    (~0.5 ms/scan measured on v5e).  Slot-major 3xC blocks give row gathers
+    one contiguous 192 B row per slot and planar [.., C]-shaped distance
+    math, and the conflicting-layout copies disappear."""
+
     keys: jnp.ndarray  # i32[NB, B] packed cell keys, -1 empty
-    pts: jnp.ndarray  # f32[NB, B, C, 3]
+    pts: jnp.ndarray  # f32[NB, B, 3, C]
     cnt: jnp.ndarray  # i32[NB, B]
 
     @property
@@ -68,7 +79,7 @@ class VoxelHashMap(NamedTuple):
 
     @property
     def cell_capacity(self) -> int:
-        return self.pts.shape[2]
+        return self.pts.shape[3]
 
 
 def pack_cells(cells: jnp.ndarray) -> jnp.ndarray:
@@ -115,7 +126,7 @@ def empty_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelHashMap:
         )
     return VoxelHashMap(
         keys=jnp.full((nb, cfg.bucket_size), _EMPTY, dtype=jnp.int32),
-        pts=jnp.zeros((nb, cfg.bucket_size, cfg.cell_capacity, 3), dtype=dtype),
+        pts=jnp.zeros((nb, cfg.bucket_size, 3, cfg.cell_capacity), dtype=dtype),
         cnt=jnp.zeros((nb, cfg.bucket_size), dtype=jnp.int32),
     )
 
@@ -231,12 +242,12 @@ def insert(
     safe_slot = jnp.maximum(slot, 0)
 
     # --- distance gate vs. existing cell contents ---------------------------
-    pts_flat = m.pts.reshape(nb * B, C, 3)
+    pts_flat = m.pts.reshape(nb * B, 3, C)
     cnt_flat = m.cnt.reshape(nb * B)
-    cell_pts = pts_flat[safe_slot]  # [N, C, 3]
+    cell_pts = pts_flat[safe_slot]  # [N, 3, C] one contiguous row per slot
     cell_cnt = cnt_flat[safe_slot]
     exist = jnp.arange(C, dtype=jnp.int32)[None, :] < cell_cnt[:, None]
-    d2 = jnp.sum((cell_pts - xyz_s[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.sum((cell_pts - xyz_s[:, :, None]) ** 2, axis=1)  # [N, C]
     d2 = jnp.where(exist, d2, _BIG)
     keep = ok & (jnp.min(d2, axis=-1) >= jnp.asarray(min_dist, xyz.dtype) ** 2)
 
@@ -265,19 +276,25 @@ def insert(
         sel_keys = jnp.where(write, n - lane_ids, 0)
         _, sel = jax.lax.top_k(sel_keys, W_ins)
         write_c = write[sel]
-        # distinct OOB sentinels keep the unique_indices promise honest
-        flat = jnp.where(write_c, safe_slot[sel] * C + dest[sel],
-                         nb * B * C + jnp.arange(W_ins, dtype=jnp.int32))
+        # scalar destination of the x-plane; y/z planes are +C, +2C within
+        # the slot's contiguous [3, C] block.  OOB sentinels are spaced 3C
+        # apart so the plane offsets keep every index distinct
+        # (unique_indices promise).
+        oob = nb * B * 3 * C + (3 * C) * jnp.arange(W_ins, dtype=jnp.int32)
+        base = jnp.where(write_c, safe_slot[sel] * (3 * C) + dest[sel], oob)
         xyz_w = xyz_s[sel]
     else:
-        flat = jnp.where(write, safe_slot * C + dest,
-                         nb * B * C + lane_ids)
+        oob = nb * B * 3 * C + (3 * C) * lane_ids
+        base = jnp.where(write, safe_slot * (3 * C) + dest, oob)
         xyz_w = xyz_s
+    # one scatter of 3W scalar lanes (per-plane columns of the slot block)
+    flat3 = jnp.concatenate([base, base + C, base + 2 * C])
+    vals3 = jnp.concatenate([xyz_w[:, 0], xyz_w[:, 1], xyz_w[:, 2]])
     pts = (
-        pts_flat.reshape(nb * B * C, 3)
-        .at[flat]
-        .set(xyz_w, mode="drop", unique_indices=True)
-        .reshape(nb, B, C, 3)
+        pts_flat.reshape(nb * B * 3 * C)
+        .at[flat3]
+        .set(vals3, mode="drop", unique_indices=True)
+        .reshape(nb, B, 3, C)
     )
 
     adds = jax.ops.segment_sum(write.astype(jnp.int32), seg_id, num_segments=n)
@@ -325,9 +342,9 @@ _OCT_CORNERS = jnp.stack(
 
 def gather_candidates(m: VoxelHashMap, cfg: MapConfig, queries: jnp.ndarray):
     """Gather the candidate point sets for a batch of queries: the 2x2x2
-    block of cells nearest each query.  Returns (cand f32[Q,8*C,3],
-    valid bool[Q,8*C]).  Exposed separately so ICP can gather once and
-    re-select across iterations."""
+    block of cells nearest each query.  Returns (cand f32[Q,8,3,C] in the
+    table's slot-major coordinate-planar form, valid bool[Q,8*C]).  Exposed
+    separately so ICP can gather once and re-select across iterations."""
     nb, B = m.keys.shape
     C = m.cell_capacity
     q = queries
@@ -342,22 +359,31 @@ def gather_candidates(m: VoxelHashMap, cfg: MapConfig, queries: jnp.ndarray):
     slots = lookup_packed(m, packed).reshape(nq, 8)
     safe = jnp.maximum(slots, 0)
 
-    pts_flat = m.pts.reshape(nb * B, C, 3)
+    pts_flat = m.pts.reshape(nb * B, 3, C)
     cnt_flat = m.cnt.reshape(nb * B)
-    cand = pts_flat[safe]  # [Q, 8, C, 3] contiguous row gathers
+    cand = pts_flat[safe]  # [Q, 8, 3, C] one contiguous row gather per slot
     cvalid = (slots >= 0)[..., None] & (
         jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt_flat[safe][..., None]
     )
-    return cand.reshape(nq, 8 * C, 3), cvalid.reshape(nq, 8 * C)
+    return cand, cvalid.reshape(nq, 8 * C)
 
 
 def select_knn(cand: jnp.ndarray, cvalid: jnp.ndarray, queries: jnp.ndarray, k: int):
-    """Top-k nearest among gathered candidates."""
-    d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    """Top-k nearest among gathered candidates (cand f32[Q,8,3,C]).
+
+    Distance math runs planar ([Q,8,C] per coordinate — no size-3 minor
+    axis anywhere); only the k selected neighbors materialize as [Q,k,3]."""
+    nq, eight, _, C = cand.shape
+    d = cand - queries[:, None, :, None]  # [Q,8,3,C]
+    d2 = jnp.sum(d * d, axis=2).reshape(nq, eight * C)
     d2 = jnp.where(cvalid, d2, _BIG)
     neg, idx = jax.lax.top_k(-d2, k)
     sq = -neg
-    pts = jnp.take_along_axis(cand, idx[..., None], axis=1)
+    planes = [
+        jnp.take_along_axis(cand[:, :, p, :].reshape(nq, eight * C), idx, axis=1)
+        for p in range(3)
+    ]
+    pts = jnp.stack(planes, axis=-1)  # [Q, k, 3]
     valid = sq < _BIG * 0.5
     return pts, sq, valid
 
@@ -411,4 +437,5 @@ def extract_points(m: VoxelHashMap):
     valid = (m.keys != _EMPTY)[..., None] & (
         jnp.arange(C, dtype=jnp.int32)[None, None, :] < m.cnt[..., None]
     )
-    return m.pts.reshape(-1, 3), valid.reshape(-1)
+    pts = jnp.transpose(m.pts, (0, 1, 3, 2)).reshape(-1, 3)
+    return pts, valid.reshape(-1)

@@ -106,16 +106,17 @@ def main():
     def gate_stage(x):
         packed = pack_cells(voxel_coords(x, mcfg.cell_size))
         slot = jnp.maximum(lookup_packed(m, packed), 0)
-        pts_flat = m.pts.reshape(nb * B, C, 3)
+        pts_flat = m.pts.reshape(nb * B, 3, C)
         cell_pts = pts_flat[slot]
-        d2 = jnp.sum((cell_pts - x[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.sum((cell_pts - x[:, :, None]) ** 2, axis=1)
         return x + jnp.min(d2) * 1e-20
     rep("insert/distance_gate", gate_stage, world)
 
     def pts_scatter_stage(mp):
-        pts_flat = mp.pts.reshape(nb * B * C, 3)
-        flat = jnp.arange(2048, dtype=jnp.int32) * 7  # arbitrary rows
-        pts = pts_flat.at[flat].set(world, mode="drop").reshape(nb, B, C, 3)
+        pts_flat = mp.pts.reshape(nb * B * 3 * C)
+        flat = jnp.arange(2048, dtype=jnp.int32) * 7  # arbitrary lanes
+        pts = pts_flat.at[flat].set(world[:, 0], mode="drop").reshape(
+            nb, B, 3, C)
         return mp._replace(pts=pts)
     rep("insert/pts_scatter_2048rows", pts_scatter_stage, m, 60)
 
