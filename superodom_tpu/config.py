@@ -149,6 +149,14 @@ class RegistrationConfig:
     min_edge_neighbors: int = 4  # LocalizationMinmumLineNeighborRejection
     edge_max_dist_inlier: float = 0.2  # LocalizationLineMaxDistInlier
     min_map_surf_features: int = 50  # hasEnoughFeatures gate (LidarSlam.cpp:380)
+    # minimum ACCEPTED correspondences for the solved pose to replace the
+    # prediction.  The reference's gate counts map points (above); with this
+    # design's capacity-bounded map a young/sparse map can pass the census
+    # yet yield a handful of matches, and an under-constrained GN solve then
+    # jumps meters on a static platform.  Holding the prediction until the
+    # match count is meaningful is the same skip-optimization semantics
+    # applied to the quantity that actually conditions the solve.
+    min_plane_matches: int = 50
     velocity_failure_threshold: float = 30.0  # m/s motion gate
     yaw_ratio: float = 0.0  # manual yaw correction deg per meter (calibration yaml)
     trans_converge_tol: float = 1e-3  # declares ICP converged (m)

@@ -103,13 +103,17 @@ def unpack_cells(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
-def _bucket_of(packed: jnp.ndarray, nb: int) -> jnp.ndarray:
-    # fmix-style scramble of the packed word, then mask to the bucket count
+def _bucket_scramble(packed: jnp.ndarray) -> jnp.ndarray:
+    # fmix-style scramble of the packed cell word (uint32 out)
     h = packed.astype(jnp.uint32)
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
     h = h ^ (h >> 13)
-    return (h & jnp.uint32(nb - 1)).astype(jnp.int32)
+    return h
+
+
+def _bucket_of(packed: jnp.ndarray, nb: int) -> jnp.ndarray:
+    return (_bucket_scramble(packed) & jnp.uint32(nb - 1)).astype(jnp.int32)
 
 
 def empty_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelHashMap:
@@ -165,16 +169,25 @@ def insert(
     n = xyz.shape[0]
     lane_ids = jnp.arange(n, dtype=jnp.int32)
 
-    # --- one lexicographic sort by (cell, fine-voxel hash) ------------------
-    # serves both the cell grouping and the within-batch thinning (keep the
-    # first point per fine voxel, the role of the reference's per-block
-    # VoxelGrid refiltering)
+    # --- one lexicographic sort by (hash(cell), cell, fine-voxel hash) ------
+    # serves the cell grouping and the within-batch thinning (keep the first
+    # point per fine voxel, the role of the reference's per-block VoxelGrid
+    # refiltering).  The PRIMARY key is a scrambled cell hash, not the packed
+    # cell coordinate: the insert-width prefix cut below drops whatever sorts
+    # last, and in coordinate order that cut is a spatial half-plane — on a
+    # feature-rich first scan it starves one side of the scene of map points
+    # for tens of frames (measured: ~2 m divergence at OS1/VLP densities with
+    # 2048 features vs insert_width 1024).  Hash order makes the capped
+    # write set a spatially uniform sample instead.
     fine = voxel_coords(xyz, jnp.maximum(jnp.asarray(min_dist, xyz.dtype), 1e-6))
     fine_h = hash_coords(fine, 0)
     packed = pack_cells(voxel_coords(xyz, cfg.cell_size))
+    scramble = (_bucket_scramble(packed) >> jnp.uint32(1)).astype(jnp.int32)
     sk_cell = jnp.where(mask, packed, _INT_MAX)
+    sk_hash = jnp.where(mask, scramble, _INT_MAX)
     sk_fine = jnp.where(mask, fine_h, _INT_MAX)
     order = _composite_sort_order(sk_cell, sk_fine)
+    order = order[jnp.argsort(sk_hash[order], stable=True)]
     xyz_s = xyz[order]
     packed_s = packed[order]
     key_s = sk_cell[order]

@@ -412,7 +412,14 @@ def step(
         edge_pts, edge_mask, surf_pts, surf_mask, rt, prior,
         use_edges=cfg.use_edge_features,
     )
-    run_icp = state.initialized & enough
+    # accepted-correspondence sufficiency: plane_rejection_hist[0] counts
+    # MATCH_SUCCESS codes of the final extraction (+ edge successes when the
+    # edge path is on) — see min_plane_matches in RegistrationConfig
+    n_matches = icp_stats.plane_rejection_hist[0]
+    if cfg.use_edge_features:
+        n_matches = n_matches + icp_stats.line_rejection_hist[0]
+    enough_matches = n_matches >= reg.min_plane_matches
+    run_icp = state.initialized & enough & enough_matches
     pose = jax.tree_util.tree_map(
         lambda r, p: jnp.where(run_icp, r, p), reg_pose, pred_pose
     )

@@ -289,3 +289,28 @@ def test_lio_prediction_catches_acceleration_transient(rng):
         f"{pred_off[onset]}")
     assert 1 in src_on.tolist()  # PRED_LIO_ODOM used
     assert ate_on < max(ate_off * 1.2, 0.15)  # accuracy not degraded
+
+
+def test_capped_insert_keeps_tracking(rng):
+    """Regression: when per-scan features exceed the map's insert-width cap,
+    the capped write set must be a spatially UNIFORM sample and the solved
+    pose must not replace the prediction while accepted correspondences are
+    scarce.  Before the hashed-order cut + min_plane_matches gate, the
+    coordinate-ordered prefix cut starved one side of the scene of map
+    points for tens of frames and an under-constrained GN jumped ~1-2 m on
+    a STATIC platform (seen at VLP-16/OS1 densities with the default
+    insert_width; reference inserts the full cloud, LocalMap.h:529-645)."""
+    cfg = tiny_config()
+    # bind the cap hard: 768-feature scans, 256-lane insert budget
+    cfg = dataclasses.replace(cfg, map=dataclasses.replace(cfg.map, insert_width=256))
+    ds = make_dataset(rng, n_scans=40, points_per_scan=3000, radius=1.2,
+                      world=small_world(), distortion=False)
+    runner = OdometryRunner(cfg)
+    res = runner.run_dataset(ds, use_imu=False)
+
+    gt = np.asarray(ds.gt_poses_t)
+    err = np.linalg.norm(res.poses_t - gt, axis=1)
+    # static lead-in (make_dataset static_scans=15) must stay pinned
+    assert err[:14].max() < 0.05, f"static-phase drift {err[:14].max()}"
+    ate = ate_rmse(res.poses_t, gt)
+    assert ate < 0.2, f"ATE {ate} with bound insert cap"
