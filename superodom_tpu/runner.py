@@ -461,15 +461,23 @@ class OdometryRunner:
 
         t_begin = time.perf_counter()
         pending = []
+        host_chunk = lambda c: (index(host_inputs[0], c),
+                                index(host_inputs[1], c),
+                                index(host_inputs[2], c))
+        if not preload:
+            next_inp = jax.device_put(host_chunk(0))
         for c in range(n_chunks):
             if preload:
                 inp = (index(dev_inputs[0], c), index(dev_inputs[1], c),
                        index(dev_inputs[2], c))
             else:
-                inp = jax.device_put(
-                    (index(host_inputs[0], c), index(host_inputs[1], c),
-                     index(host_inputs[2], c)))
+                inp = next_inp
             self.state, outs = self._chunk_fn(self.state, *inp)
+            if not preload and c + 1 < n_chunks:
+                # double-buffered streaming: the dispatch above is async, so
+                # issuing chunk c+1's upload NOW overlaps the host->device
+                # transfer with chunk c's device compute
+                next_inp = jax.device_put(host_chunk(c + 1))
             # keep device->host reads OUT of the loop: each scalar read is a
             # full round trip on a remote-attached device
             pending.append(outs)
