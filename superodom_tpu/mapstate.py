@@ -11,7 +11,7 @@ LocalMap.h:169-287), voxel-filters each touched block on insertion
 open-addressing hash table over ~2 m cells:
 
   keys  int32[NB, B]      packed cell coordinate per slot (-1 = empty)
-  pts   f32  [NB, B, C, 3] stored points (world frame)
+  pts   f32  [NB*B, 3C]   stored points, coordinate-planar slot rows
   cnt   int32[NB, B]      valid points per slot
 
 * Cell coordinates pack into one int32 (10 bits/axis, wraps at +-512 cells;
@@ -54,19 +54,23 @@ _COORD_PERIOD = 1 << _COORD_BITS  # 1024 cells before wrap
 
 
 class VoxelHashMap(NamedTuple):
-    """Bucketized voxel-hash table.
+    """Bucketized voxel-hash table, laid out for TPU (8,128) tiling.
 
-    ``pts`` is stored slot-major with the COORDINATE axis ahead of the
-    capacity axis ([NB, B, 3, C], one contiguous 3xC block per slot).  The
-    natural [NB, B, C, 3] layout puts a size-3 axis minormost, which no TPU
-    tiling likes: XLA's layout assignment then relays the whole multi-MB
-    table out between the KNN gather and the insert scatter EVERY step
-    (~0.5 ms/scan measured on v5e).  Slot-major 3xC blocks give row gathers
-    one contiguous 192 B row per slot and planar [.., C]-shaped distance
-    math, and the conflicting-layout copies disappear."""
+    ``pts`` is ONE flat 2-D table: row = slot (bucket*B + lane), columns =
+    the slot's 3xC coordinate-planar block [x0..x_{C-1}, y0.., z0..].  Every
+    hot op is then a row gather / row scatter on a natively tiled array.
+    Earlier layouts kept a 4-D [NB, B, 3, C] table: its minor (3, C) dims
+    tile as T(4,128) -> 10.6x PADDING (12.6 MB of points stored in 134 MB),
+    and the insert's flat-view reshape repacked the whole padded table twice
+    per scan (0.39 ms/scan measured on v5e).  The 2-D [slots, 3C] form pads
+    only 3C=48 -> 128 lanes and never reshapes.
+
+    ``keys``/``cnt`` stay [NB, B]: with the default B=128 a bucket row IS one
+    (8,128) tile row, so lookups read dense rows (B=8 padded those rows 16x).
+    Bigger buckets also lower overflow variance at equal load factor."""
 
     keys: jnp.ndarray  # i32[NB, B] packed cell keys, -1 empty
-    pts: jnp.ndarray  # f32[NB, B, 3, C]
+    pts: jnp.ndarray  # f32[NB*B, 3*C] coordinate-planar slot rows
     cnt: jnp.ndarray  # i32[NB, B]
 
     @property
@@ -79,7 +83,7 @@ class VoxelHashMap(NamedTuple):
 
     @property
     def cell_capacity(self) -> int:
-        return self.pts.shape[3]
+        return self.pts.shape[1] // 3
 
 
 def pack_cells(cells: jnp.ndarray) -> jnp.ndarray:
@@ -130,7 +134,7 @@ def empty_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelHashMap:
         )
     return VoxelHashMap(
         keys=jnp.full((nb, cfg.bucket_size), _EMPTY, dtype=jnp.int32),
-        pts=jnp.zeros((nb, cfg.bucket_size, 3, cfg.cell_capacity), dtype=dtype),
+        pts=jnp.zeros((nb * cfg.bucket_size, 3 * cfg.cell_capacity), dtype=dtype),
         cnt=jnp.zeros((nb, cfg.bucket_size), dtype=jnp.int32),
     )
 
@@ -208,42 +212,35 @@ def insert(
 
     bucket = _bucket_of(packed_s, nb)
 
-    def alloc_round(carry):
-        keys, slot, pend, r = carry
-        rows = keys[bucket]  # [N, B]
-        match = rows == packed_s[:, None]
-        has_match = jnp.any(match, axis=-1)
-        mlane = jnp.argmax(match, axis=-1).astype(jnp.int32)
-        adopt = pend & has_match
-        slot = jnp.where(adopt, bucket * B + mlane, slot)
-        pend = pend & ~has_match
+    # One-shot deterministic allocation: rank each NEW cell among the new
+    # cells of its bucket, then claim the rank-th empty lane of that bucket
+    # directly.  Ranks are distinct per bucket, so there is no write race —
+    # this replaces the old claim/contend while_loop, which could allocate
+    # only ONE cell per bucket per round (fine at B=8, but at B=128 a bulk
+    # load needing ~30 cells in one bucket starved after n_probes rounds).
+    rep_bucket = jnp.where(rep, bucket, _INT_MAX)
+    border = jnp.argsort(rep_bucket, stable=True)
+    rb_sorted = rep_bucket[border]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), rb_sorted[1:] != rb_sorted[:-1]]
+    )
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.ops.segment_min(idx, seg, num_segments=n)
+    rank_sorted = idx - run_start[seg]
+    rank = jnp.zeros((n,), jnp.int32).at[border].set(rank_sorted)
 
-        empty = rows == _EMPTY
-        has_empty = jnp.any(empty, axis=-1)
-        elane = jnp.argmax(empty, axis=-1).astype(jnp.int32)
-        cand = bucket * B + elane
-        free_try = pend & has_empty
-        claim_idx = jnp.where(free_try, cand, nb * B)
-        claims = jnp.full((nb * B,), _INT_MAX).at[claim_idx].min(
-            lane_ids, mode="drop"
-        )
-        won = free_try & (claims[jnp.minimum(cand, nb * B - 1)] == lane_ids)
-        upd_idx = jnp.where(won, cand, nb * B)
-        keys = (
-            keys.reshape(-1).at[upd_idx].set(packed_s, mode="drop").reshape(nb, B)
-        )
-        slot = jnp.where(won, cand, slot)
-        pend = pend & ~won & has_empty  # bucket full -> drop candidate
-        return keys, slot, pend, r + 1
-
-    def alloc_cond(carry):
-        _keys, _slot, pend, r = carry
-        # in steady state almost every cell already exists (slot found by
-        # lookup), so the contention rounds usually don't run at all
-        return jnp.any(pend) & (r < cfg.n_probes)
-
-    keys, slot, _, _ = jax.lax.while_loop(
-        alloc_cond, alloc_round, (m.keys, slot, rep, jnp.zeros((), jnp.int32))
+    empty_cum = jnp.cumsum((m.keys == _EMPTY).astype(jnp.int32), axis=1)
+    rows_cum = empty_cum[bucket]  # [N, B]
+    want = rank + 1
+    hit = rows_cum == want[:, None]
+    got = rep & jnp.any(hit, axis=-1)  # rank < #empty lanes, else drop
+    elane = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    new_slot = bucket * B + elane
+    slot = jnp.where(got, new_slot, slot)
+    key_rows = jnp.where(got, bucket, nb + lane_ids)  # distinct OOB rows
+    keys = m.keys.at[key_rows, elane].set(
+        packed_s, mode="drop", unique_indices=True
     )
 
     seg_slot = jax.ops.segment_max(
@@ -255,12 +252,15 @@ def insert(
     safe_slot = jnp.maximum(slot, 0)
 
     # --- distance gate vs. existing cell contents ---------------------------
-    pts_flat = m.pts.reshape(nb * B, 3, C)
     cnt_flat = m.cnt.reshape(nb * B)
-    cell_pts = pts_flat[safe_slot]  # [N, 3, C] one contiguous row per slot
+    cell_pts = m.pts[safe_slot]  # [N, 3C] one contiguous row per slot
     cell_cnt = cnt_flat[safe_slot]
     exist = jnp.arange(C, dtype=jnp.int32)[None, :] < cell_cnt[:, None]
-    d2 = jnp.sum((cell_pts - xyz_s[:, :, None]) ** 2, axis=1)  # [N, C]
+    d2 = (
+        (cell_pts[:, 0:C] - xyz_s[:, 0:1]) ** 2
+        + (cell_pts[:, C:2 * C] - xyz_s[:, 1:2]) ** 2
+        + (cell_pts[:, 2 * C:] - xyz_s[:, 2:3]) ** 2
+    )  # [N, C]
     d2 = jnp.where(exist, d2, _BIG)
     keep = ok & (jnp.min(d2, axis=-1) >= jnp.asarray(min_dist, xyz.dtype) ** 2)
 
@@ -283,32 +283,31 @@ def insert(
     W_ins = min(max_writes if max_writes > 0 else cfg.insert_width, n)
     if W_ins < n:
         w_rank = jnp.cumsum(write.astype(jnp.int32)) - 1
-        # prefix cut in sorted-cell order keeps each cell's kept lanes
-        # contiguous from rank 0, so `dest` stays gap-free
+        # prefix cut in sorted order keeps each cell's kept lanes contiguous
+        # from rank 0 (a cell's lanes are contiguous under the hash-primary
+        # sort), so `dest` stays gap-free
         write = write & (w_rank < W_ins)
         sel_keys = jnp.where(write, n - lane_ids, 0)
         _, sel = jax.lax.top_k(sel_keys, W_ins)
         write_c = write[sel]
-        # scalar destination of the x-plane; y/z planes are +C, +2C within
-        # the slot's contiguous [3, C] block.  OOB sentinels are spaced 3C
-        # apart so the plane offsets keep every index distinct
-        # (unique_indices promise).
-        oob = nb * B * 3 * C + (3 * C) * jnp.arange(W_ins, dtype=jnp.int32)
-        base = jnp.where(write_c, safe_slot[sel] * (3 * C) + dest[sel], oob)
+        # dropped lanes get DISTINCT out-of-range rows (unique_indices)
+        drop_rows = nb * B + jnp.arange(W_ins, dtype=jnp.int32)
+        row_w = jnp.where(write_c, safe_slot[sel], drop_rows)
+        col_w = jnp.minimum(dest[sel], C - 1)
         xyz_w = xyz_s[sel]
     else:
-        oob = nb * B * 3 * C + (3 * C) * lane_ids
-        base = jnp.where(write, safe_slot * (3 * C) + dest, oob)
+        row_w = jnp.where(write, safe_slot, nb * B + lane_ids)
+        col_w = jnp.minimum(dest, C - 1)
         xyz_w = xyz_s
-    # one scatter of 3W scalar lanes (per-plane columns of the slot block)
-    flat3 = jnp.concatenate([base, base + C, base + 2 * C])
+    # one 2-D scatter of 3W lanes straight into the native [slots, 3C]
+    # tiling (rows = slots, columns = x/y/z plane offsets of the append
+    # position) — no flat view, no layout repack.  Distinct dropped rows
+    # keep every (row, col) pair unique; live pairs are unique because a
+    # cell's appends have distinct ranks.
+    rows3 = jnp.concatenate([row_w, row_w, row_w])
+    cols3 = jnp.concatenate([col_w, col_w + C, col_w + 2 * C])
     vals3 = jnp.concatenate([xyz_w[:, 0], xyz_w[:, 1], xyz_w[:, 2]])
-    pts = (
-        pts_flat.reshape(nb * B * 3 * C)
-        .at[flat3]
-        .set(vals3, mode="drop", unique_indices=True)
-        .reshape(nb, B, 3, C)
-    )
+    pts = m.pts.at[rows3, cols3].set(vals3, mode="drop", unique_indices=True)
 
     adds = jax.ops.segment_sum(write.astype(jnp.int32), seg_id, num_segments=n)
     rep_lane = new_run & (slot >= 0) & mask_s
@@ -355,9 +354,10 @@ _OCT_CORNERS = jnp.stack(
 
 def gather_candidates(m: VoxelHashMap, cfg: MapConfig, queries: jnp.ndarray):
     """Gather the candidate point sets for a batch of queries: the 2x2x2
-    block of cells nearest each query.  Returns (cand f32[Q,8,3,C] in the
-    table's slot-major coordinate-planar form, valid bool[Q,8*C]).  Exposed
-    separately so ICP can gather once and re-select across iterations."""
+    block of cells nearest each query.  Returns (cand f32[Q,8,3C] — one
+    coordinate-planar slot row per octant cell — and valid bool[Q,8*C]).
+    Exposed separately so ICP can gather once and re-select across
+    iterations."""
     nb, B = m.keys.shape
     C = m.cell_capacity
     q = queries
@@ -372,30 +372,40 @@ def gather_candidates(m: VoxelHashMap, cfg: MapConfig, queries: jnp.ndarray):
     slots = lookup_packed(m, packed).reshape(nq, 8)
     safe = jnp.maximum(slots, 0)
 
-    pts_flat = m.pts.reshape(nb * B, 3, C)
     cnt_flat = m.cnt.reshape(nb * B)
-    cand = pts_flat[safe]  # [Q, 8, 3, C] one contiguous row gather per slot
+    cand = m.pts[safe]  # [Q, 8, 3C] one contiguous row gather per slot
     cvalid = (slots >= 0)[..., None] & (
         jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt_flat[safe][..., None]
     )
     return cand, cvalid.reshape(nq, 8 * C)
 
 
-def select_knn(cand: jnp.ndarray, cvalid: jnp.ndarray, queries: jnp.ndarray, k: int):
-    """Top-k nearest among gathered candidates (cand f32[Q,8,3,C]).
+def cand_planes(cand: jnp.ndarray):
+    """Split gathered candidate rows [Q,8,3C] into coordinate planes
+    (x, y, z), each [Q, 8C] — static minor-dim slices, no transpose."""
+    nq, eight, threeC = cand.shape
+    C = threeC // 3
+    x = cand[:, :, 0:C].reshape(nq, eight * C)
+    y = cand[:, :, C:2 * C].reshape(nq, eight * C)
+    z = cand[:, :, 2 * C:].reshape(nq, eight * C)
+    return x, y, z
 
-    Distance math runs planar ([Q,8,C] per coordinate — no size-3 minor
+
+def select_knn(cand: jnp.ndarray, cvalid: jnp.ndarray, queries: jnp.ndarray, k: int):
+    """Top-k nearest among gathered candidates (cand f32[Q,8,3C]).
+
+    Distance math runs planar ([Q,8C] per coordinate — no size-3 minor
     axis anywhere); only the k selected neighbors materialize as [Q,k,3]."""
-    nq, eight, _, C = cand.shape
-    d = cand - queries[:, None, :, None]  # [Q,8,3,C]
-    d2 = jnp.sum(d * d, axis=2).reshape(nq, eight * C)
+    cx, cy, cz = cand_planes(cand)
+    d2 = (
+        (cx - queries[:, 0:1]) ** 2
+        + (cy - queries[:, 1:2]) ** 2
+        + (cz - queries[:, 2:3]) ** 2
+    )
     d2 = jnp.where(cvalid, d2, _BIG)
     neg, idx = jax.lax.top_k(-d2, k)
     sq = -neg
-    planes = [
-        jnp.take_along_axis(cand[:, :, p, :].reshape(nq, eight * C), idx, axis=1)
-        for p in range(3)
-    ]
+    planes = [jnp.take_along_axis(p, idx, axis=1) for p in (cx, cy, cz)]
     pts = jnp.stack(planes, axis=-1)  # [Q, k, 3]
     valid = sq < _BIG * 0.5
     return pts, sq, valid
@@ -450,5 +460,8 @@ def extract_points(m: VoxelHashMap):
     valid = (m.keys != _EMPTY)[..., None] & (
         jnp.arange(C, dtype=jnp.int32)[None, None, :] < m.cnt[..., None]
     )
-    pts = jnp.transpose(m.pts, (0, 1, 3, 2)).reshape(-1, 3)
+    C = m.cell_capacity
+    pts = jnp.stack(
+        [m.pts[:, 0:C], m.pts[:, C:2 * C], m.pts[:, 2 * C:]], axis=-1
+    ).reshape(-1, 3)
     return pts, valid.reshape(-1)

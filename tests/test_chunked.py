@@ -44,7 +44,7 @@ def test_long_run_stability(rng):
     cfg = dataclasses.replace(
         tiny_config(),
         map=MapConfig(cell_size=2.0, table_size=1 << 12, bucket_size=8,
-                      cell_capacity=32, n_probes=4, evict_radius=60.0),
+                      cell_capacity=32, evict_radius=60.0),
     )
     ds = make_dataset(rng, n_scans=150, points_per_scan=2500, radius=2.0,
                       world=small_world(), distortion=False, laps=2.0)

@@ -7,7 +7,7 @@ from superodom_tpu import mapstate as ms
 
 
 CFG = MapConfig(cell_size=1.0, table_size=1 << 12, bucket_size=8,
-                cell_capacity=16, n_probes=4)
+                cell_capacity=16)
 
 
 def brute_knn(points, query, k):
@@ -86,7 +86,7 @@ def test_evict_far(rng):
     m = ms.empty_map(CFG)
     near = rng.uniform(-2, 2, size=(50, 3)).astype(np.float32)
     cfg_small = MapConfig(cell_size=1.0, table_size=1 << 12, bucket_size=8,
-                          cell_capacity=16, n_probes=4, evict_radius=10.0)
+                          cell_capacity=16, evict_radius=10.0)
     far = near + 50.0
     m = ms.insert(m, cfg_small, jnp.asarray(np.concatenate([near, far])),
                   jnp.ones(100, dtype=bool), 1e-4)
@@ -103,7 +103,7 @@ def test_evict_far(rng):
 def test_reinsert_after_evict_finds_slots(rng):
     """Eviction holes must not break lookup/insert chains."""
     cfg = MapConfig(cell_size=1.0, table_size=1 << 10, bucket_size=8,
-                    cell_capacity=8, n_probes=4, evict_radius=5.0)
+                    cell_capacity=8, evict_radius=5.0)
     m = ms.empty_map(cfg)
     pts = rng.uniform(-3, 3, size=(200, 3)).astype(np.float32)
     m = ms.insert(m, cfg, jnp.asarray(pts), jnp.ones(200, bool), 0.1)

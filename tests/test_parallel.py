@@ -117,7 +117,7 @@ def test_64_instances_on_virtual_slice():
     cfg = _cfg()
     cfg = dataclasses.replace(
         cfg, map=MapConfig(cell_size=2.0, table_size=1 << 10, bucket_size=8,
-                           cell_capacity=16, n_probes=2))
+                           cell_capacity=16))
     mesh = make_mesh(jax.devices()[:8], data=8, model=1)
     state, scan, imu, avail = _inputs(cfg, batch=64)
     step_fn, shard_state = make_batched_step(cfg, mesh)

@@ -31,7 +31,7 @@ def tiny_config(max_points=4096, surf_cap=768) -> PipelineConfig:
     return PipelineConfig(
         sensor=sensor,
         map=MapConfig(cell_size=1.0, table_size=1 << 13, cell_capacity=24,
-                      n_probes=8, evict_radius=200.0),
+                      evict_radius=200.0),
         registration=RegistrationConfig(max_icp_iters=4, max_gn_iters=4),
         imu=ImuConfig(max_imu_per_scan=48, window_size=6, smoother_gn_iters=3),
         auto_voxel_size=False,

@@ -7,7 +7,7 @@ from superodom_tpu import geometry as geo
 from superodom_tpu import registration as reg
 
 
-MAP_CFG = MapConfig(cell_size=1.0, table_size=1 << 13, cell_capacity=32, n_probes=8)
+MAP_CFG = MapConfig(cell_size=1.0, table_size=1 << 13, cell_capacity=32)
 REG_CFG = RegistrationConfig()
 RT = RuntimeParams(line_res=jnp.float32(0.1), plane_res=jnp.float32(0.2))
 

@@ -106,17 +106,16 @@ def main():
     def gate_stage(x):
         packed = pack_cells(voxel_coords(x, mcfg.cell_size))
         slot = jnp.maximum(lookup_packed(m, packed), 0)
-        pts_flat = m.pts.reshape(nb * B, 3, C)
-        cell_pts = pts_flat[slot]
-        d2 = jnp.sum((cell_pts - x[:, :, None]) ** 2, axis=1)
+        cell_pts = m.pts[slot]  # [N, 3C]
+        d2 = ((cell_pts[:, 0:C] - x[:, 0:1]) ** 2
+              + (cell_pts[:, C:2 * C] - x[:, 1:2]) ** 2
+              + (cell_pts[:, 2 * C:] - x[:, 2:3]) ** 2)
         return x + jnp.min(d2) * 1e-20
     rep("insert/distance_gate", gate_stage, world)
 
     def pts_scatter_stage(mp):
-        pts_flat = mp.pts.reshape(nb * B * 3 * C)
-        flat = jnp.arange(2048, dtype=jnp.int32) * 7  # arbitrary lanes
-        pts = pts_flat.at[flat].set(world[:, 0], mode="drop").reshape(
-            nb, B, 3, C)
+        rows = jnp.arange(2048, dtype=jnp.int32) * 7 % (nb * B)
+        pts = mp.pts.at[rows, rows % (3 * C)].set(world[:, 0], mode="drop")
         return mp._replace(pts=pts)
     rep("insert/pts_scatter_2048rows", pts_scatter_stage, m, 60)
 
