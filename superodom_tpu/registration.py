@@ -682,7 +682,15 @@ def icp_register(
         (init_planes, init_lines), stats0,
     )
 
-    if reg.icp_early_exit:
+    if max_it == 1:
+        # single outer iteration (the tuned replay configs): peel the loop —
+        # the body always runs exactly once (converged starts False), and
+        # dropping the lax.while wrapper removes its loop-carried layout
+        # constraints and pipelining barrier
+        pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = (
+            outer(carry0)
+        )
+    elif reg.icp_early_exit:
         # early-exit ICP: the reference breaks when Ceres converges in one
         # step (LidarSlam.cpp:141-147); a while_loop realizes the same saving
         # instead of masked full-length iteration
