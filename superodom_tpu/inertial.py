@@ -462,10 +462,12 @@ def smoother_update(
         )
         return out, None
 
-    (q_f, p_f, v_f, ba_f, bg_f), _ = jax.lax.scan(
-        gn_iter, (st.q, st.p, st.v, st.ba, st.bg), None,
-        length=cfg.smoother_gn_iters,
-    )
+    # static unroll: 2-3 iterations of [W,15]-scale work — a lax.scan wrapper
+    # would add a while loop's layout constraints for no shape savings
+    carry = (st.q, st.p, st.v, st.ba, st.bg)
+    for _ in range(cfg.smoother_gn_iters):
+        carry, _ = gn_iter(carry, None)
+    q_f, p_f, v_f, ba_f, bg_f = carry
 
     # failure detection (imuPreintegration.cpp:398-417)
     failed = (

@@ -484,10 +484,16 @@ def gauss_newton_solve(
         step_small = jnp.linalg.norm(delta) < 1e-6
         return (p_new, first_step_small), step_small
 
-    (pose_out, _), steps = jax.lax.scan(
-        body, (pose, jnp.array(False)), None, length=n_iters
-    )
-    return pose_out, steps[0]
+    # static unroll (n_iters <= 4): lets XLA fuse the residual/H assembly
+    # chains across iterations instead of carrying them through a loop
+    carry = (pose, jnp.array(False))
+    first_small = None
+    for _ in range(n_iters):
+        carry, step_small = body(carry, None)
+        if first_small is None:
+            first_small = step_small
+    pose_out, _ = carry
+    return pose_out, first_small
 
 
 # ---------------------------------------------------------------------------
