@@ -405,8 +405,14 @@ def select_knn(cand: jnp.ndarray, cvalid: jnp.ndarray, queries: jnp.ndarray, k: 
     d2 = jnp.where(cvalid, d2, _BIG)
     neg, idx = jax.lax.top_k(-d2, k)
     sq = -neg
-    planes = [jnp.take_along_axis(p, idx, axis=1) for p in (cx, cy, cz)]
-    pts = jnp.stack(planes, axis=-1)  # [Q, k, 3]
+    # materialize the k neighbors via a one-hot batched matmul instead of
+    # take_along_axis: the within-row element gather lowers to one scalar
+    # load per element (~80 us per plane for 2048x5 on v5e) while the
+    # one-hot contraction is a dense [k,8C]x[8C,3] MXU pass per query
+    lanes = jnp.arange(d2.shape[1], dtype=idx.dtype)
+    onehot = (idx[:, :, None] == lanes[None, None, :]).astype(cand.dtype)
+    stacked = jnp.stack([cx, cy, cz], axis=-1)  # [Q, 8C, 3]
+    pts = jnp.einsum("qkc,qcp->qkp", onehot, stacked)  # [Q, k, 3]
     valid = sq < _BIG * 0.5
     return pts, sq, valid
 
