@@ -133,7 +133,12 @@ class MapConfig:
     # insert every k-th frame (consecutive 10 Hz scans overlap ~95%; the
     # scatter into the big point table is the costliest op in the step)
     insert_cadence: int = 1
-    evict_cadence: int = 8  # full-table eviction pass every k-th frame
+    # full-table eviction pass every k-th frame.  Default 1 (every frame):
+    # the pass is one [slots]-wide masked write (~16 us for the default
+    # table on v5e), while gating it behind a lax.cond costs a full-table
+    # buffer copy on every SKIPPED frame (the identity branch re-materializes
+    # the carried map) plus a layout flip at the join — 3x the work it saves.
+    evict_cadence: int = 1
     evict_radius: float = 250.0  # drop cells farther than this from the pose
     # The reference keeps 21x21x11 blocks x 50 m => ~500 m extent
     # (LocalMap.h:131-138); 250 m radius matches its usable neighborhood and

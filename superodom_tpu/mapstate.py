@@ -132,9 +132,13 @@ def empty_map(cfg: MapConfig, dtype=jnp.float32) -> VoxelHashMap:
             f"table_size/bucket_size ({nb}) must be a power of two "
             "(_bucket_of masks the hash with nb-1)"
         )
+    # unoccupied point lanes hold the BIG sentinel: queries then need no
+    # per-slot count — the distance ranking excludes empties naturally,
+    # sparing a 16k-element scalar gather of cnt per scan (~0.1 ms on v5e)
     return VoxelHashMap(
         keys=jnp.full((nb, cfg.bucket_size), _EMPTY, dtype=jnp.int32),
-        pts=jnp.zeros((nb * cfg.bucket_size, 3 * cfg.cell_capacity), dtype=dtype),
+        pts=jnp.full((nb * cfg.bucket_size, 3 * cfg.cell_capacity), _BIG,
+                     dtype=dtype),
         cnt=jnp.zeros((nb, cfg.bucket_size), dtype=jnp.int32),
     )
 
@@ -372,10 +376,12 @@ def gather_candidates(m: VoxelHashMap, cfg: MapConfig, queries: jnp.ndarray):
     slots = lookup_packed(m, packed).reshape(nq, 8)
     safe = jnp.maximum(slots, 0)
 
-    cnt_flat = m.cnt.reshape(nb * B)
     cand = m.pts[safe]  # [Q, 8, 3C] one contiguous row gather per slot
-    cvalid = (slots >= 0)[..., None] & (
-        jnp.arange(C, dtype=jnp.int32)[None, None, :] < cnt_flat[safe][..., None]
+    # no cnt gather: unoccupied lanes hold the BIG sentinel (see empty_map/
+    # evict_far), so masking missing SLOTS suffices — sentinel lanes lose
+    # every distance comparison on their own
+    cvalid = jnp.broadcast_to(
+        (slots >= 0)[..., None], (nq, 8, C)
     )
     return cand, cvalid.reshape(nq, 8 * C)
 
@@ -433,9 +439,13 @@ def evict_far(m: VoxelHashMap, cfg: MapConfig, center: jnp.ndarray) -> VoxelHash
     far = (m.keys != _EMPTY) & (
         jnp.sum(d * d, axis=-1) > jnp.asarray(cfg.evict_radius, m.pts.dtype) ** 2
     )
+    # restore the BIG sentinel on dropped slots' point lanes: queries rely
+    # on empties losing every distance comparison (no cnt gather), so a
+    # reallocated slot must not resurrect stale points.  One masked full-
+    # table write per eviction pass (~16 us for 12.6 MB on v5e).
     return VoxelHashMap(
         keys=jnp.where(far, _EMPTY, m.keys),
-        pts=m.pts,
+        pts=jnp.where(far.reshape(-1)[:, None], _BIG, m.pts),
         cnt=jnp.where(far, 0, m.cnt),
     )
 

@@ -546,10 +546,12 @@ def lidar_uncertainty_from_histogram(hist: jnp.ndarray) -> jnp.ndarray:
 
 
 def _histogram(codes: jnp.ndarray, n_bins: int) -> jnp.ndarray:
-    # negative codes mean "no contribution"; remap to a positive OOB sentinel
-    # (negative indices wrap NumPy-style in JAX scatters)
-    idx = jnp.where(codes < 0, n_bins, codes)
-    return jnp.zeros((n_bins,), jnp.int32).at[idx].add(1, mode="drop")
+    # compare+reduce instead of a scatter-add: at <=9 bins the [N, n_bins]
+    # equality table reduces in one VPU pass, while the scatter costs one
+    # serialized update per lane (~0.05 ms per histogram on v5e).  Negative
+    # codes mean "no contribution" and match no bin.
+    eq = codes[:, None] == jnp.arange(n_bins, dtype=codes.dtype)[None, :]
+    return jnp.sum(eq.astype(jnp.int32), axis=0)
 
 
 # ---------------------------------------------------------------------------
