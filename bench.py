@@ -70,19 +70,21 @@ def _dataset(cfg, n_scans, seed=7):
 
     rng = np.random.default_rng(seed)
     # realistic platform dynamics (~3.5 m/s, ~0.7 rad/s) so the benchmark
-    # measures throughput of a TRACKING estimator, not a diverged one
+    # measures throughput of a TRACKING estimator, not a diverged one.
+    # laps scale with n so the per-scan dynamics are IDENTICAL at any
+    # replay length (0.5 laps per 120 scans = 3.5 m/s on the r=5 circle).
     return make_dataset(
         rng,
         n_scans=n_scans,
         points_per_scan=cfg.sensor.max_points,
         world=BoxWorld(half_extent=np.array([40.0, 30.0, 8.0])),
         radius=5.0,
-        laps=0.5,
+        laps=0.5 * n_scans / 120.0,
         distortion=True,
     )
 
 
-def bench_single(sensor_name="os1", n_scans=120, preload=True, chunk=None):
+def bench_single(sensor_name="os1", n_scans=240, preload=True, chunk=None):
     import numpy as np
 
     from superodom_tpu.io.datasets import ate_rmse
