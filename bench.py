@@ -23,7 +23,7 @@ import numpy as np
 BASELINE_SCANS_PER_SEC = 200.0  # north-star target (BASELINE.md)
 
 
-def _config(name, tuned=True):
+def _config(name, tuned=True, parity=False):
     import dataclasses
 
     from superodom_tpu.config import (
@@ -44,6 +44,15 @@ def _config(name, tuned=True):
         imu=ImuConfig(),
         auto_voxel_size=False,
     )
+    if parity:
+        # reference-envelope config: the reference's full ICP budget — 5
+        # outer ICP iterations with early exit x <=4 inner GN
+        # (config/os1_128.yaml:27 max_iterations, LidarSlam.cpp:230-240),
+        # voxel-claim scan thinning, cell_capacity 32.  Everything else is
+        # the untuned default.
+        return dataclasses.replace(
+            cfg, registration=RegistrationConfig(max_icp_iters=5),
+        )
     if tuned and name == "os1":  # only the OS1 replay was A/B-validated
         # TPU replay tuning, selected by repeated medians with the ATE guard
         # (tools/profile_final*.py, profile_n120.py, profile_r2a.py):
@@ -69,10 +78,12 @@ def _dataset(cfg, n_scans, seed=7):
     from superodom_tpu.io.datasets import BoxWorld, make_dataset
 
     rng = np.random.default_rng(seed)
-    # realistic platform dynamics (~3.5 m/s, ~0.7 rad/s) so the benchmark
-    # measures throughput of a TRACKING estimator, not a diverged one.
-    # laps scale with n so the per-scan dynamics are IDENTICAL at any
-    # replay length (0.5 laps per 120 scans = 3.5 m/s on the r=5 circle).
+    # moving-platform dynamics (~1.3 m/s, ~0.26 rad/s: 0.5 laps per 12 s on
+    # the r=5 circle) so the benchmark measures throughput of a TRACKING
+    # estimator, not a diverged one.  laps scale with n so the per-scan
+    # dynamics are IDENTICAL at any replay length.  Aggressive-dynamics
+    # qualification lives in the stress battery (tests/test_stress.py +
+    # tools/stress_matrix.py), not in the throughput bench.
     return make_dataset(
         rng,
         n_scans=n_scans,
@@ -84,13 +95,14 @@ def _dataset(cfg, n_scans, seed=7):
     )
 
 
-def bench_single(sensor_name="os1", n_scans=240, preload=True, chunk=None):
+def bench_single(sensor_name="os1", n_scans=240, preload=True, chunk=None,
+                 parity=False, latency_chunk=16):
     import numpy as np
 
     from superodom_tpu.io.datasets import ate_rmse
     from superodom_tpu.runner import OdometryRunner
 
-    cfg = _config(sensor_name)
+    cfg = _config(sensor_name, parity=parity)
     ds = _dataset(cfg, n_scans)
     runner = OdometryRunner(cfg)
     res = runner.run_dataset_chunked(ds, use_imu=True,
@@ -99,17 +111,28 @@ def bench_single(sensor_name="os1", n_scans=240, preload=True, chunk=None):
     ate = ate_rmse(res.poses_t, np.asarray(ds.gt_poses_t))
     metric = (f"registered_scans_per_sec_{cfg.sensor.name}"
               + ("_os1_128" if sensor_name == "os1" else "")
+              + ("_parity" if parity else "")
               + ("" if preload else "_streaming"))
-    return {
+    out = {
         "metric": metric,
         "value": round(res.scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(res.scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
         "ate_m": round(ate, 3),
         "tracking": bool(ate < 0.5),
-        "p50_step_ms": round(float(np.median(
-            [s["time_elapsed_ms"] for s in res.stats])), 3),
     }
+    # real per-scan latency percentiles: a separate small-chunk pass with a
+    # device sync per chunk (OptimizationStats.msg:9-10 semantics — the
+    # reference stamps each frame; chunk-of-16 granularity here)
+    lat_runner = OdometryRunner(cfg)
+    lat = lat_runner.run_dataset_chunked(
+        ds, use_imu=True, chunk=latency_chunk, preload=preload,
+        time_chunks=True)
+    times = np.asarray([s["time_elapsed_ms"] for s in lat.stats])
+    out["p50_step_ms"] = round(float(np.percentile(times, 50)), 3)
+    out["p90_step_ms"] = round(float(np.percentile(times, 90)), 3)
+    out["max_step_ms"] = round(float(np.max(times)), 3)
+    return out
 
 
 def bench_batch(batch=4, n_scans=40):
@@ -192,8 +215,18 @@ def main():
     elif which == "stream":
         # host->device streaming INSIDE the timed loop (live-feed number)
         out = bench_single("os1", preload=False, chunk=10)
+    elif which == "parity":
+        out = bench_single("os1", parity=True)
     else:
         out = bench_single(which)
+        if which == "os1":
+            # the reference-envelope row (5 outer ICP x 4 GN, voxel thinning,
+            # capacity 32) published beside the tuned number — both
+            # driver-visible in the single JSON line
+            p = bench_single("os1", parity=True)
+            out["parity"] = {k: p[k] for k in
+                             ("value", "ate_m", "tracking", "p50_step_ms",
+                              "p90_step_ms", "vs_baseline")}
     print(json.dumps(out))
 
 

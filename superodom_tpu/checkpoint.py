@@ -42,10 +42,26 @@ def load_state(path: str, cfg: PipelineConfig) -> OdomState:
     """Restore an OdomState; the treedef comes from a fresh init_state(cfg),
     so the config must match the one the state was saved under."""
     template = init_state(cfg)
-    _, treedef = jax.tree_util.tree_flatten(template)
+    ref_leaves, treedef = jax.tree_util.tree_flatten(template)
     data = np.load(_norm_path(path))
     meta = json.loads(bytes(data[_META]).decode())
-    leaves = [jnp.asarray(data[f"leaf_{i:04d}"]) for i in range(meta["n_leaves"])]
+    if meta["n_leaves"] != len(ref_leaves):
+        raise ValueError(
+            f"checkpoint {path!r} has {meta['n_leaves']} leaves but the "
+            f"current config expects {len(ref_leaves)} — saved under an "
+            "incompatible config or an older state layout"
+        )
+    leaves = []
+    for i, ref in enumerate(ref_leaves):
+        arr = data[f"leaf_{i:04d}"]
+        if tuple(arr.shape) != tuple(np.shape(ref)):
+            raise ValueError(
+                f"checkpoint {path!r} leaf {i} has shape {tuple(arr.shape)} "
+                f"but the current config expects {tuple(np.shape(ref))} — "
+                "saved under an incompatible config or an older state layout "
+                "(e.g. a different map table geometry)"
+            )
+        leaves.append(jnp.asarray(arr, dtype=ref.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

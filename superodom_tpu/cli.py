@@ -32,9 +32,18 @@ def main(argv=None):
                                   "(.db3 file or bag directory)")
     ap.add_argument("--lidar-topic", help="point cloud topic in --bag")
     ap.add_argument("--imu-topic", help="IMU topic in --bag")
+    ap.add_argument("--sensor-kind",
+                    choices=["velodyne", "ouster", "livox"],
+                    help="vendor decode path for --bag point clouds "
+                         "(default: inferred from field names, logged)")
     ap.add_argument("--max-scans", type=int,
                     help="cap the number of scans replayed from --bag")
     ap.add_argument("--no-imu", action="store_true")
+    ap.add_argument("--high-rate", action="store_true",
+                    help="also stream the ~50 Hz IMU-rate odometry to "
+                         "state_estimation.txt (TUM format; reference "
+                         "imuPreintegration.cpp:629,648-650); per-scan "
+                         "replay only")
     ap.add_argument("--chunked", action="store_true",
                     help="high-throughput lax.scan replay")
     ap.add_argument("--localize", metavar="PCD",
@@ -108,6 +117,7 @@ def main(argv=None):
         ds = load_bag_dataset(
             args.bag, lidar_topic=args.lidar_topic, imu_topic=args.imu_topic,
             n_scan_lines=cfg.sensor.n_scan_lines, max_scans=args.max_scans,
+            sensor_kind=args.sensor_kind,
         )
         gt = None
     else:
@@ -118,11 +128,20 @@ def main(argv=None):
         res = runner.run_dataset_chunked(ds, use_imu=not args.no_imu)
     else:
         res = runner.run_dataset(ds, use_imu=not args.no_imu,
-                                 log_path=os.path.join(args.out, "stats.jsonl"))
+                                 log_path=os.path.join(args.out, "stats.jsonl"),
+                                 high_rate=args.high_rate)
 
     np.savetxt(os.path.join(args.out, "trajectory.txt"),
                np.concatenate([res.poses_t, res.poses_q], axis=1),
                header="x y z qw qx qy qz")
+    if args.high_rate and res.high_rate_t is not None and len(res.high_rate_t):
+        # TUM format (t x y z qx qy qz qw) — the ~50 Hz state_estimation
+        # stream (reference imuPreintegration.cpp:629,648-650)
+        hr = np.concatenate(
+            [res.high_rate_t[:, None], res.high_rate_p,
+             res.high_rate_q[:, 1:4], res.high_rate_q[:, 0:1]], axis=1)
+        np.savetxt(os.path.join(args.out, "state_estimation.txt"), hr,
+                   header="t x y z qx qy qz qw")
     report = bm.full_report(res, gt)
     bm.write_report(os.path.join(args.out, "report.json"), report)
     if args.save_map:

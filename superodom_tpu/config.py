@@ -58,8 +58,10 @@ class SensorProfile:
     # scatter cost ~ lane count; top_k compaction is ~5x cheaper per lane)
     compact_width: int = 32768
     skip_frame: int = 1  # process every k-th scan (featureExtraction.cpp:713)
-    # scan-stack spatial thinning: "voxel" (scatter-claim, exact),
-    # "range" (scatter-free r^2-stratified hash), "none" (even decimation)
+    # scan-stack spatial thinning: "voxel" (scatter-claim, one point per
+    # voxel), "centroid" (exact PCL VoxelGrid per-voxel centroids — parity
+    # mode, two argsorts), "range" (scatter-free r^2-stratified hash),
+    # "none" (even decimation)
     scan_thin_mode: str = "voxel"
 
 
@@ -169,9 +171,16 @@ class RegistrationConfig:
     trans_converge_tol: float = 1e-3  # declares ICP converged (m)
     rot_converge_tol: float = 1e-3  # declares ICP converged (rad)
     icp_early_exit: bool = True  # while_loop break vs fixed masked scan
-    # Degenerate-environment handling (SuperLoc alignment risk):
+    # Degenerate-environment handling (SuperLoc alignment risk): EITHER
+    # block's inverse condition number under its threshold flags the frame
+    # (reference EstimateRegistrationError covers both blocks,
+    # LidarSlam.cpp:854-889).  The orientation threshold is higher: fitted
+    # chord planes on curved surfaces carry a systematic tangential normal
+    # tilt (~neighborhood/2R) that floors the rotation block's smallest
+    # eigenvalue, so a rotation-unobservable scene reads ~0.05-0.13 rather
+    # than ~0 (well-conditioned rooms read 0.6+ on both blocks).
     pos_degeneracy_threshold: float = 0.1
-    ori_degeneracy_threshold: float = 0.1
+    ori_degeneracy_threshold: float = 0.15
     visual_confidence_factor: float = 1.0
 
 
@@ -191,6 +200,19 @@ class ImuConfig:
     # sigma=0.01 per-key pose priors make states beyond ~6 keys inert, and
     # the dense jacfwd solve scales with (15*W)^2
     smoother_gn_iters: int = 3
+    # Initial-prior sigmas on the first window state (the role of GTSAM's
+    # priorVelNoise/priorBiasNoise, imuPreintegration.cpp:162-177); pose is
+    # free (the lidar measures it).  Once the window fills, states falling
+    # off the lag are marginalized into a carried Gaussian prior, so bias
+    # information ACCUMULATES exactly as in the reference's ISAM2 graph —
+    # these only set the starting point.
+    init_vel_sigma: float = 2.0  # m/s
+    init_acc_bias_sigma: float = 0.5  # m/s^2
+    init_gyr_bias_sigma: float = 0.1  # rad/s
+    # geometric decay of the carried marginal prior per key: bounds the
+    # weight of stale-linearization info (see _marginalize_oldest) and
+    # tracks slowly drifting biases; 1.0 = exact marginalization
+    prior_forgetting: float = 0.95
     # failure gates (imuPreintegration.cpp:398-417)
     max_velocity: float = 30.0
     max_acc_bias: float = 2.0
@@ -199,6 +221,9 @@ class ImuConfig:
     # has no knob here — the fixed-lag window IS the reset horizon (states
     # fall off the window after `window_size` keys; see PARITY.md row 6).
     init_window_sec: float = 1.0  # IMU static init duration (imu_data.h:71-160)
+    # IMU-rate odometry publication: every k-th ~200 Hz integration step
+    # (~50 Hz, reference imuPreintegration.cpp:629,648-650)
+    high_rate_decimation: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -268,6 +293,15 @@ class PipelineConfig:
     # the slim reference — statuses hardwired false, laserMapping.cpp:680;
     # realized here because it predicts through acceleration transients)
     enable_lio_prediction: bool = False
+    # 6-DoF VIO-path undistortion: when an external odometry path covers the
+    # sweep, undistort features against the interpolated pose path (rotation
+    # AND translation) instead of rotation-only IMU — the reference's
+    # removePointDistortion<Odometry> branch (featureExtraction.cpp:236-249,
+    # 462-468).  Static flag: compiles the posed-undistortion path in; at
+    # runtime each scan falls back to the IMU path when no VIO coverage.
+    use_vio_undistortion: bool = False
+    # VioWindow capacity (pose samples per scan window) when enabled
+    max_vio_per_scan: int = 16
 
     def default_runtime(self) -> RuntimeParams:
         return RuntimeParams(

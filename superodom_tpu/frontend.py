@@ -55,6 +55,18 @@ class ImuWindow(NamedTuple):
     mask: jnp.ndarray  # bool[M]
 
 
+class VioWindow(NamedTuple):
+    """External (e.g. visual-inertial) odometry pose samples covering one
+    scan, expressed as T_w_lidar — the 6-DoF undistortion path of the
+    reference (removePointDistortion<Odometry> over visualOdomBuf,
+    featureExtraction.cpp:236-249,462-468)."""
+
+    t: jnp.ndarray  # f32[K] absolute sample times
+    q: jnp.ndarray  # f32[K,4] lidar-frame world orientation
+    p: jnp.ndarray  # f32[K,3] lidar-frame world position
+    mask: jnp.ndarray  # bool[K]
+
+
 def propagate_orientation(
     q0: jnp.ndarray,
     gyr0: jnp.ndarray,
@@ -249,6 +261,13 @@ def uniform_feature_gates(
     finite = jnp.all(jnp.isfinite(xyz), axis=-1)
     out = mask & in_range & finite
     if not skip_dup:
+        if prev.shape != xyz.shape:
+            # a (1,3) placeholder prev would silently broadcast into a wrong
+            # duplicate gate; only skip_dup=True may pass a placeholder
+            raise ValueError(
+                f"prev.shape {prev.shape} != xyz.shape {xyz.shape}; pass "
+                "skip_dup=True when the duplicate gate already ran on host"
+            )
         dup = jnp.all(jnp.abs(xyz - prev) <= 1e-7, axis=-1)
         out = out & ~dup
     return out
@@ -365,11 +384,22 @@ def thin_and_select(
     * ``"voxel"``  — scatter-claim one point per ``res`` voxel; wide clouds
       are first top_k-compacted to ``compact_width`` lanes (lossless when
       compact_width >= the stride-selected count).
+    * ``"centroid"`` — exact PCL VoxelGrid semantics (per-voxel centroid,
+      extras averaged; reference LocalMap.h:562-567) via two full argsorts —
+      the parity-exact mode, ~2x the thinning cost of ``"voxel"``.
     * ``"range"``  — scatter-free r^2-stratified hash thinning
       (:func:`range_stratified_mask`): equalizes radial density, relies on
       the even-rate final decimation for the rest.
     * ``"none"``   — even-rate decimation only (near-field biased).
     """
+    if mode == "centroid":
+        if xyz.shape[0] > compact_width:
+            packed = select_features(xyz, mask, compact_width, *extras)
+            xyz, mask, extras = packed[0], packed[1], tuple(packed[2:])
+        from superodom_tpu.ops.voxel import voxel_downsample_centroid
+
+        out = voxel_downsample_centroid(xyz, mask, res, *extras)
+        return select_features(out[0], out[1], capacity, *out[2:])
     if mode == "range":
         keep = range_stratified_mask(xyz, mask, 3 * capacity)
         return select_features(xyz, keep, capacity, *extras)

@@ -199,7 +199,15 @@ def preintegrate(imu: ImuWindow, ba: jnp.ndarray, bg: jnp.ndarray,
 
 
 class SmootherState(NamedTuple):
-    """Fixed-lag window of navigation states at lidar keyframes."""
+    """Fixed-lag window of navigation states at lidar keyframes.
+
+    True fixed-lag smoothing: each state keeps its ORIGINAL lidar pose
+    measurement (``meas_q``/``meas_p``), and when a state falls off the
+    window it is marginalized (Schur complement) into the carried Gaussian
+    prior (``prior_q``/``prior_x``/``prior_info``) on the new oldest state —
+    the finite-lag equivalent of the information ISAM2 accumulates in the
+    reference (imuPreintegration.cpp:279-337).  Bias information therefore
+    ACCUMULATES across updates instead of being re-anchored ad hoc."""
 
     q: jnp.ndarray  # f32[W,4] world<-imu orientation
     p: jnp.ndarray  # f32[W,3]
@@ -207,7 +215,12 @@ class SmootherState(NamedTuple):
     ba: jnp.ndarray  # f32[W,3]
     bg: jnp.ndarray  # f32[W,3]
     t: jnp.ndarray  # f32[W] keyframe times
+    meas_q: jnp.ndarray  # f32[W,4] lidar pose measurement per keyframe
+    meas_p: jnp.ndarray  # f32[W,3]
     preint: Preintegrated  # stacked [W] (interval i-1 -> i; lane 0 unused)
+    prior_q: jnp.ndarray  # f32[4] marginal-prior mean orientation (lane 0)
+    prior_x: jnp.ndarray  # f32[12] marginal-prior mean [p, v, ba, bg]
+    prior_info: jnp.ndarray  # f32[15,15] marginal-prior information
     valid: jnp.ndarray  # bool[W]
     key: jnp.ndarray  # i32 keyframes since init
     failed: jnp.ndarray  # bool, failure detected last update
@@ -231,6 +244,20 @@ def _stack_preint(w: int, dtype=jnp.float32) -> Preintegrated:
     )
 
 
+def _init_prior_info(cfg: ImuConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """Information of the initial prior on the first window state: free pose
+    (the lidar measures it), weak velocity, moderate biases (the role of
+    GTSAM's priorPoseNoise/priorVelNoise/priorBiasNoise,
+    imuPreintegration.cpp:162-177)."""
+    diag = (
+        [0.0] * 6
+        + [1.0 / cfg.init_vel_sigma**2] * 3
+        + [1.0 / cfg.init_acc_bias_sigma**2] * 3
+        + [1.0 / cfg.init_gyr_bias_sigma**2] * 3
+    )
+    return jnp.diag(jnp.asarray(diag, dtype))
+
+
 def smoother_init(cfg: ImuConfig, dtype=jnp.float32) -> SmootherState:
     w = cfg.window_size
     return SmootherState(
@@ -240,11 +267,39 @@ def smoother_init(cfg: ImuConfig, dtype=jnp.float32) -> SmootherState:
         ba=jnp.zeros((w, 3), dtype),
         bg=jnp.zeros((w, 3), dtype),
         t=jnp.zeros((w,), dtype),
+        meas_q=jnp.tile(quat_identity(dtype)[None], (w, 1)),
+        meas_p=jnp.zeros((w, 3), dtype),
         preint=_stack_preint(w, dtype),
+        prior_q=quat_identity(dtype),
+        prior_x=jnp.zeros((12,), dtype),
+        prior_info=_init_prior_info(cfg, dtype),
         valid=jnp.zeros((w,), bool),
         key=jnp.zeros((), jnp.int32),
         failed=jnp.zeros((), bool),
     )
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _bias_cumsum_map_np(w: int):
+    import numpy as onp
+
+    T = onp.eye(w * 15, dtype=onp.float32)
+    for i in range(w):
+        for j in range(i):
+            for off in (9, 12):  # ba, bg sub-blocks of the 15-wide tangent
+                T[i * 15 + off:i * 15 + off + 3,
+                  j * 15 + off:j * 15 + off + 3] = onp.eye(3)
+    return T
+
+
+def _bias_cumsum_map(w: int, dtype) -> jnp.ndarray:
+    """Block-lower-triangular map from (first-bias, per-interval bias
+    increments) coordinates to the direct per-state bias tangents:
+    ``dba_i = dba_base + sum_{j<=i} u_j`` (identity on q/p/v blocks)."""
+    return jnp.asarray(_bias_cumsum_map_np(w), dtype)
 
 
 def _imu_residuals(q_i, p_i, v_i, ba_i, bg_i, q_j, p_j, v_j, pre: Preintegrated,
@@ -290,6 +345,157 @@ def propagate_state(
     return q_pred, p_pred, v_pred
 
 
+def _pose_prior_res(delta15, q0, p0, mq, mp, w):
+    """Weighted lidar pose-prior residual on one state ([6])."""
+    q = quat_normalize(quat_mul(q0, so3_exp(delta15[0:3])))
+    p = p0 + delta15[3:6]
+    r_q = so3_log(quat_mul(quat_conj(mq), q)) * w
+    r_p = (p - mp) * w
+    return jnp.concatenate([r_q, r_p])
+
+
+def _pair_factor_res(delta30, xi, xj, pre_i, sig_vq, sig_vv, wpair, wba, wbg,
+                     gravity_w):
+    """Weighted IMU preintegration + bias random-walk residuals between
+    consecutive window states ([15])."""
+    qi0, pi0, vi0, bai0, bgi0 = xi
+    qj0, pj0, vj0, baj0, bgj0 = xj
+    di, dj = delta30[:15], delta30[15:]
+    qi = quat_normalize(quat_mul(qi0, so3_exp(di[0:3])))
+    pi = pi0 + di[3:6]
+    vi = vi0 + di[6:9]
+    bai = bai0 + di[9:12]
+    bgi = bgi0 + di[12:15]
+    qj = quat_normalize(quat_mul(qj0, so3_exp(dj[0:3])))
+    pj = pj0 + dj[3:6]
+    vj = vj0 + dj[6:9]
+    baj = baj0 + dj[9:12]
+    bgj = bgj0 + dj[12:15]
+    r_q, r_v, r_p = _imu_residuals(
+        qi, pi, vi, bai, bgi, qj, pj, vj, pre_i, gravity_w
+    )
+    return jnp.concatenate([
+        r_q * sig_vq * wpair,
+        r_v * sig_vv * wpair,
+        r_p * sig_vv * wpair,
+        (baj - bai) * (wba * wpair),
+        (bgj - bgi) * (wbg * wpair),
+    ])
+
+
+def _state_tangent15(q, p, v, ba, bg, prior_q, prior_x):
+    """Tangent coordinates of a state around the marginal-prior mean."""
+    r_q = so3_log(quat_mul(quat_conj(prior_q), q))
+    return jnp.concatenate([
+        r_q,
+        p - prior_x[0:3],
+        v - prior_x[3:6],
+        ba - prior_x[6:9],
+        bg - prior_x[9:12],
+    ])
+
+
+# per-GN-iteration trust-region caps for [dq, dp, dv, dba, dbg]
+# the velocity cap must let a genuinely inconsistent pose stream push
+# |v| past the 30 m/s failure gate within a couple of updates
+_TRUST_CAPS = [0.5] * 3 + [2.0] * 3 + [12.0] * 3 + [0.2] * 3 + [0.1] * 3
+
+
+def _scaled_solve(A, rhs, damp=1e-7):
+    """Jacobi-scaled damped linear solve.  The bias random-walk weights
+    (~1e4, squared in the normal equations) give raw systems a ~1e8+
+    condition number an f32 solve cannot survive; rescaling to unit diagonal
+    lets one damping constant serve blocks whose weights span ~1e5."""
+    d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(A), 1e-8))
+    As = A * d[:, None] * d[None, :] + damp * jnp.eye(A.shape[0], dtype=A.dtype)
+    if rhs.ndim == 1:
+        return d * jnp.linalg.solve(As, d * rhs)
+    return d[:, None] * jnp.linalg.solve(As, d[:, None] * rhs)
+
+
+def _interval_weights(cfg, pre_dt):
+    """IMU-factor weights from the preintegrated white-noise scale over one
+    interval (the role of GTSAM's propagated preintMeasCov): sigma ~
+    noise_density * sqrt(dt); bias random walk ~ walk_density * sqrt(dt)."""
+    dt_ref = jnp.maximum(pre_dt, 1e-2)
+    sig_vq = 1.0 / (cfg.gyr_noise * jnp.sqrt(dt_ref) + 1e-6)
+    sig_vv = 1.0 / (cfg.acc_noise * jnp.sqrt(dt_ref) + 1e-6)
+    wba = 1.0 / jnp.maximum(
+        cfg.acc_bias_noise * jnp.sqrt(jnp.maximum(pre_dt, 1e-3)), 1e-9
+    )
+    wbg = 1.0 / jnp.maximum(
+        cfg.gyr_bias_noise * jnp.sqrt(jnp.maximum(pre_dt, 1e-3)), 1e-9
+    )
+    return sig_vq, sig_vv, wba, wbg
+
+
+def _marginalize_oldest(state: SmootherState, cfg: ImuConfig, lidar_w,
+                        gravity_w, dtype):
+    """Schur-complement the oldest window state into a Gaussian prior on its
+    successor.
+
+    The dropped state's factors — the carried prior, its lidar pose prior,
+    and the IMU pair factor to state 1 — are linearized at the current
+    estimates and eliminated; the result is the exact (to GN order)
+    marginal factor on state 1.  This is what makes the fixed-lag window
+    equivalent to the reference's ISAM2-with-reset (PARITY #6): information
+    accumulates in ``prior_info`` instead of being forgotten.
+    """
+    z15 = jnp.zeros((15,), dtype)
+    z30 = jnp.zeros((30,), dtype)
+    pre1 = jax.tree_util.tree_map(lambda a: a[1], state.preint)
+    sig_vq, sig_vv, wba, wbg = _interval_weights(cfg, pre1.dt)
+    xi = (state.q[0], state.p[0], state.v[0], state.ba[0], state.bg[0])
+    xj = (state.q[1], state.p[1], state.v[1], state.ba[1], state.bg[1])
+
+    one = jnp.ones((), dtype)
+    pair = lambda d: _pair_factor_res(d, xi, xj, pre1, sig_vq, sig_vv, one,
+                                      wba, wbg, gravity_w)
+    rp, Jp = pair(z30), jax.jacfwd(pair)(z30)
+    pr = lambda d: _pose_prior_res(d, state.q[0], state.p[0],
+                                   state.meas_q[0], state.meas_p[0], lidar_w)
+    r6, J6 = pr(z15), jax.jacfwd(pr)(z15)
+    r0 = _state_tangent15(*xi, state.prior_q, state.prior_x)
+
+    H = Jp.T @ Jp
+    g = Jp.T @ rp
+    H = H.at[:15, :15].add(J6.T @ J6 + state.prior_info)
+    g = g.at[:15].add(J6.T @ r6 + state.prior_info @ r0)
+
+    A, B, C = H[:15, :15], H[:15, 15:], H[15:, 15:]
+    AinvB = _scaled_solve(A, B)
+    Ainvg = _scaled_solve(A, g[:15])
+    info = C - B.T @ AinvB
+    info = 0.5 * (info + info.T)
+    gm = g[15:] - B.T @ Ainvg
+
+    # re-center the prior mean at the marginal optimum (GN order),
+    # trust-capped like the window steps
+    caps = jnp.asarray(_TRUST_CAPS, dtype)
+    delta = jnp.clip(-_scaled_solve(info, gm), -caps, caps)
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+    q1 = quat_normalize(quat_mul(state.q[1], so3_exp(delta[0:3])))
+    x1 = jnp.concatenate(
+        [state.p[1], state.v[1], state.ba[1], state.bg[1]]
+    ) + delta[3:]
+
+    # exponential forgetting: marginalized factors stay linearized at the
+    # estimates they were dropped with, so information accumulated early
+    # (while biases were still converging) would pin the estimate off-truth
+    # forever.  Geometric decay bounds that stale info's weight — the soft
+    # equivalent of the reference's periodic ISAM2 reset
+    # (imuPreintegration.cpp:162-205) — and also caps total information so
+    # f32 stays healthy over unbounded runtime.
+    info = info * jnp.asarray(cfg.prior_forgetting, dtype)
+    scale = jnp.minimum(1.0, 1e6 / jnp.maximum(jnp.max(jnp.diag(info)), 1.0))
+    info = info * scale + 1e-6 * jnp.eye(15, dtype=dtype)
+    bad = ~(jnp.all(jnp.isfinite(info)) & jnp.all(jnp.isfinite(x1)))
+    info = jnp.where(bad, _init_prior_info(cfg, dtype), info)
+    x1 = jnp.where(bad, jnp.concatenate(
+        [state.p[1], state.v[1], state.ba[1], state.bg[1]]), x1)
+    return q1, x1, info
+
+
 def smoother_update(
     state: SmootherState,
     cfg: ImuConfig,
@@ -302,6 +508,13 @@ def smoother_update(
     the IMU frame, i.e. already composed with lidar2Imu as in
     imuPreintegration.cpp:284) and re-solve the window by dense GN.
 
+    Fixed-lag semantics: the state falling off the window is first
+    marginalized into the carried prior (:func:`_marginalize_oldest`), and
+    every window state keeps its ORIGINAL lidar measurement as its pose
+    factor — together these make the finite window equivalent (to GN /
+    first-order marginalization accuracy) to the reference's full ISAM2
+    graph with periodic reset (imuPreintegration.cpp:279-337,162-205).
+
     ``pre`` may carry the interval's preintegration if the caller already
     computed it (the pipeline shares it with the LIO prediction source).
     Returns the updated window and the smoothed latest pose.
@@ -309,9 +522,19 @@ def smoother_update(
     W = cfg.window_size
     dtype = state.p.dtype
     gravity_w = jnp.array([0.0, 0.0, -cfg.gravity], dtype)
+    lidar_w = jnp.asarray(1.0 / cfg.lidar_correction_noise, dtype)
 
     if pre is None:
         pre = preintegrate(imu, state.ba[-1], state.bg[-1], rate=cfg.imu_rate)
+
+    # marginalize the state about to fall off (only meaningful when the
+    # window is full; otherwise the carried prior passes through)
+    marg = state.valid[0] & state.valid[1]
+    mq1, mx1, minfo = _marginalize_oldest(state, cfg, lidar_w, gravity_w,
+                                          dtype)
+    prior_q = jnp.where(marg, mq1, state.prior_q)
+    prior_x = jnp.where(marg, mx1, state.prior_x)
+    prior_info = jnp.where(marg, minfo, state.prior_info)
 
     # propagate a predicted state for the new keyframe
     q_pred, p_pred, v_pred = propagate_state(state, cfg, pre)
@@ -329,37 +552,34 @@ def smoother_update(
         ba=shift(state.ba, state.ba[-1]),
         bg=shift(state.bg, state.bg[-1]),
         t=shift(state.t, jnp.asarray(t_key, dtype)),
+        meas_q=shift(state.meas_q, lidar_pose_imu.q),
+        meas_p=shift(state.meas_p, lidar_pose_imu.t),
         preint=jax.tree_util.tree_map(
-            lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0), state.preint, pre
+            lambda a, n: jnp.concatenate([a[1:], n[None]], axis=0),
+            state.preint, pre
         ),
+        prior_q=prior_q,
+        prior_x=prior_x,
+        prior_info=prior_info,
         valid=shift(state.valid, jnp.array(True)),
         key=state.key + 1,
         failed=state.failed,
     )
 
-    # measurement: lidar pose prior on the newest state (tight, sigma =
-    # lidar_correction_noise as in the reference) and on every older state
-    # from its previous estimate (keeps the window anchored ~ marginals)
-    meas_q = shift(state.q, lidar_pose_imu.q)
-    meas_p = shift(state.p, lidar_pose_imu.t)
-    # drop priors for invalid lanes
-    prior_w = st.valid.astype(dtype) / cfg.lidar_correction_noise
+    # lidar pose priors: every state at its ORIGINAL measurement (tight,
+    # sigma = lidar_correction_noise as in the reference); invalid lanes
+    # dropped.  The marginal prior applies to lane 0 once the window is
+    # full (prior_gate)
+    prior_w = st.valid.astype(dtype) * lidar_w
+    prior_gate = st.valid[0].astype(dtype)
 
-    # IMU-factor weights from the preintegrated white-noise scale over one
-    # interval (the role of GTSAM's propagated preintMeasCov): sigma ~
-    # noise_density * sqrt(dt)
-    dt_ref = jnp.maximum(st.preint.dt[-1], 1e-2)
-    sig_vq = 1.0 / (cfg.gyr_noise * jnp.sqrt(dt_ref) + 1e-6)
-    sig_vv = 1.0 / (cfg.acc_noise * jnp.sqrt(dt_ref) + 1e-6)
-    w_bias_a = st.valid.astype(dtype) / jnp.maximum(
-        cfg.acc_bias_noise * jnp.sqrt(jnp.maximum(st.preint.dt, 1e-3)), 1e-9
-    )
-    w_bias_g = st.valid.astype(dtype) / jnp.maximum(
-        cfg.gyr_bias_noise * jnp.sqrt(jnp.maximum(st.preint.dt, 1e-3)), 1e-9
-    )
+    sig_vq, sig_vv, w_bias_a, w_bias_g = _interval_weights(cfg, st.preint.dt)
+    sig_vq = sig_vq[-1]
+    sig_vv = sig_vv[-1]
+    w_bias_a = st.valid.astype(dtype) * w_bias_a
+    w_bias_g = st.valid.astype(dtype) * w_bias_g
 
     pair_valid = (st.valid[:-1] & st.valid[1:]).astype(dtype)
-
     pre_pairs = jax.tree_util.tree_map(lambda a: a[1:], st.preint)
 
     def gn_iter(carry, _):
@@ -371,56 +591,24 @@ def smoother_update(
         # per-factor (15- and 30-wide tangents, vmapped over lanes) instead
         # of one (15*W)-wide jacfwd over the whole window cuts the dominant
         # smoother cost ~3x; H is assembled from the blocks.
-
-        def prior_res(delta15, q0, p0, mq, mp, w):
-            q = quat_normalize(quat_mul(q0, so3_exp(delta15[0:3])))
-            p = p0 + delta15[3:6]
-            r_q = so3_log(quat_mul(quat_conj(mq), q)) * w
-            r_p = (p - mp) * w
-            return jnp.concatenate([r_q, r_p])  # [6]
-
-        def pair_res(delta30, xi, xj, pre_i, wpair, wba, wbg):
-            qi0, pi0, vi0, bai0, bgi0 = xi
-            qj0, pj0, vj0, _baj0, _bgj0 = xj
-            di, dj = delta30[:15], delta30[15:]
-            qi = quat_normalize(quat_mul(qi0, so3_exp(di[0:3])))
-            pi = pi0 + di[3:6]
-            vi = vi0 + di[6:9]
-            bai = bai0 + di[9:12]
-            bgi = bgi0 + di[12:15]
-            qj = quat_normalize(quat_mul(qj0, so3_exp(dj[0:3])))
-            pj = pj0 + dj[3:6]
-            vj = vj0 + dj[6:9]
-            baj = _baj0 + dj[9:12]
-            bgj = _bgj0 + dj[12:15]
-            r_q, r_v, r_p = _imu_residuals(
-                qi, pi, vi, bai, bgi, qj, pj, vj, pre_i, gravity_w
-            )
-            return jnp.concatenate([
-                r_q * sig_vq * wpair,
-                r_v * sig_vv * wpair,
-                r_p * sig_vv * wpair,
-                (baj - bai) * (wba * wpair),
-                (bgj - bgi) * (wbg * wpair),
-            ])  # [15]
-
         z15 = jnp.zeros((15,), dtype)
         z30 = jnp.zeros((30,), dtype)
 
-        pr_fn = lambda d, q0, p0, mq, mp, w: prior_res(d, q0, p0, mq, mp, w)
         r_pr, J_pr = jax.vmap(
             lambda q0, p0, mq, mp, w: (
-                pr_fn(z15, q0, p0, mq, mp, w),
-                jax.jacfwd(pr_fn)(z15, q0, p0, mq, mp, w),
+                _pose_prior_res(z15, q0, p0, mq, mp, w),
+                jax.jacfwd(_pose_prior_res)(z15, q0, p0, mq, mp, w),
             )
-        )(q_c, p_c, meas_q, meas_p, prior_w)  # [W,6], [W,6,15]
+        )(q_c, p_c, st.meas_q, st.meas_p, prior_w)  # [W,6], [W,6,15]
 
         xi = (q_c[:-1], p_c[:-1], v_c[:-1], ba_c[:-1], bg_c[:-1])
         xj = (q_c[1:], p_c[1:], v_c[1:], ba_c[1:], bg_c[1:])
         r_pair, J_pair = jax.vmap(
             lambda xi_, xj_, pre_, wp, wa, wg: (
-                pair_res(z30, xi_, xj_, pre_, wp, wa, wg),
-                jax.jacfwd(pair_res)(z30, xi_, xj_, pre_, wp, wa, wg),
+                _pair_factor_res(z30, xi_, xj_, pre_, sig_vq, sig_vv, wp,
+                                 wa, wg, gravity_w),
+                jax.jacfwd(_pair_factor_res)(z30, xi_, xj_, pre_, sig_vq,
+                                             sig_vv, wp, wa, wg, gravity_w),
             )
         )(xi, xj, pre_pairs, pair_valid, w_bias_a[1:], w_bias_g[1:])
         # r_pair [W-1,15], J_pair [W-1,15,30]
@@ -438,20 +626,27 @@ def smoother_update(
             sl = slice(i * 15, i * 15 + 30)
             H = H.at[sl, sl].add(Hq[i])
             g = g.at[sl].add(gq[i])
-        # Jacobi preconditioning: the bias random-walk weights
-        # (1/acc_w ~ 1e4, squared in H) give H a ~1e8 condition number,
-        # which an f32 solve cannot survive; rescale to unit diagonal.
-        d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-8))
-        # damping at the f32 precision floor: the bias random walk is ~1e5x
-        # stiffer than the IMU factors and heavier damping freezes the
-        # common-mode bias direction entirely
-        Hs = H * d[:, None] * d[None, :] + 1e-7 * jnp.eye(W * 15, dtype=dtype)
-        delta = -(d * jnp.linalg.solve(Hs, d * g)).reshape(W, 15)
+        # marginal prior on the oldest state (J ~ identity in its tangent)
+        r0 = _state_tangent15(q_c[0], p_c[0], v_c[0], ba_c[0], bg_c[0],
+                              st.prior_q, st.prior_x)
+        H = H.at[:15, :15].add(prior_gate * st.prior_info)
+        g = g.at[:15].add(prior_gate * (st.prior_info @ r0))
+        # Hierarchical bias reparametrization: the bias random-walk factors
+        # are ~1e5x stiffer than the IMU factors, so in the direct
+        # parametrization the COMMON-MODE bias direction is a tiny
+        # eigenvalue of the Jacobi-scaled system — below any safe f32
+        # damping floor.  Re-expressing bias states as (first bias +
+        # per-interval increments) via the linear map T gives the common
+        # mode its OWN diagonal entry (curvature = the marginal prior's +
+        # IMU factors' bias information): the stiff walk factors become
+        # decoupled penalties on the increments and the scaled system
+        # conditions like the pose/velocity blocks.
+        T = _bias_cumsum_map(W, dtype)
+        delta = T @ _scaled_solve(T.T @ H @ T, -(T.T @ g))
+        delta = delta.reshape(W, 15)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         # trust region: bound each sub-block's per-iteration step
-        caps = jnp.asarray(
-            [0.5] * 3 + [2.0] * 3 + [5.0] * 3 + [0.2] * 3 + [0.1] * 3, dtype
-        )
+        caps = jnp.asarray(_TRUST_CAPS, dtype)
         delta = jnp.clip(delta, -caps, caps)
         out = (
             quat_normalize(quat_mul(q_c, so3_exp(delta[:, 0:3]))),
@@ -475,20 +670,26 @@ def smoother_update(
         | (jnp.linalg.norm(ba_f[-1]) > cfg.max_acc_bias)
         | (jnp.linalg.norm(bg_f[-1]) > cfg.max_gyr_bias)
     )
-    # on failure: keep lidar pose, zero velocity/bias (resetParams behavior)
+    # on failure: keep lidar poses, zero velocity/bias, reset the carried
+    # prior (resetParams behavior)
     keep = ~failed
 
     def sel(new, fallback):
         return jnp.where(keep, new, fallback)
 
     out = SmootherState(
-        q=sel(q_f, meas_q),
-        p=sel(p_f, meas_p),
+        q=sel(q_f, st.meas_q),
+        p=sel(p_f, st.meas_p),
         v=sel(v_f, jnp.zeros_like(v_f)),
         ba=sel(ba_f, jnp.zeros_like(ba_f)),
         bg=sel(bg_f, jnp.zeros_like(bg_f)),
         t=st.t,
+        meas_q=st.meas_q,
+        meas_p=st.meas_p,
         preint=st.preint,
+        prior_q=sel(st.prior_q, st.meas_q[0]),
+        prior_x=sel(st.prior_x, jnp.zeros((12,), dtype)),
+        prior_info=sel(st.prior_info, _init_prior_info(cfg, dtype)),
         valid=st.valid,
         key=jnp.where(failed, 0, st.key),
         failed=failed,

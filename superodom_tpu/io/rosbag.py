@@ -545,12 +545,19 @@ def load_bag_dataset(
     imu_topic: Optional[str] = None,
     n_scan_lines: int = 16,
     max_scans: Optional[int] = None,
+    sensor_kind: Optional[str] = None,
 ) -> BagDataset:
     """Read a rosbag2 recording into a replayable dataset.
 
     Topics default to the first PointCloud2/CustomMsg topic and the first
     Imu topic in the bag (the reference wires these explicitly in its launch
     files; bags typically contain exactly one of each).
+
+    ``sensor_kind`` ("velodyne" | "ouster" | "livox") selects the vendor
+    decode path explicitly; when omitted it is inferred from the message
+    type and field names, and the guess is logged — the vendor path decides
+    time/ring synthesis AND the ouster sensor-frame rotation, so a wrong
+    guess silently rotates the cloud.
     """
     from superodom_tpu.io.datasets import SimImu, SimScan
 
@@ -576,7 +583,6 @@ def load_bag_dataset(
     imu_acc: List[np.ndarray] = []
     imu_gyr: List[np.ndarray] = []
     wanted = [lidar_topic] + ([imu_topic] if imu_topic else [])
-    sensor_kind = None
     for topic, typ, t_ns, msg in reader.messages(wanted):
         if topic == imu_topic and isinstance(msg, ImuMsg):
             imu_t.append(msg.stamp)
@@ -597,6 +603,14 @@ def load_bag_dataset(
         elif isinstance(msg, PointCloud2):
             if sensor_kind is None:
                 sensor_kind = _guess_sensor_kind(typ, msg)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "guessed sensor_kind=%r for topic %s from field names "
+                    "%s — pass sensor_kind= explicitly if wrong",
+                    sensor_kind, lidar_topic,
+                    [f.name for f in msg.fields],
+                )
             raw = _cloud_to_rawscan(msg, sensor_kind, n_scan_lines)
             scans.append(SimScan(msg.stamp, raw.xyz, raw.t_rel))
     if not scans:

@@ -3,5 +3,5 @@ from superodom_tpu.ops.voxel import (  # noqa: F401
     voxel_coords,
     hash_coords,
     voxel_downsample_centroid,
-    compact_masked,
+    voxel_downsample_scatter,
 )

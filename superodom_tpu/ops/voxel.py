@@ -49,7 +49,8 @@ def _composite_sort_order(h1: jnp.ndarray, h2: jnp.ndarray) -> jnp.ndarray:
     return order2[order1]
 
 
-def voxel_downsample_centroid(xyz: jnp.ndarray, mask: jnp.ndarray, res):
+def voxel_downsample_centroid(xyz: jnp.ndarray, mask: jnp.ndarray, res,
+                              *extras: jnp.ndarray):
     """Voxel-grid downsample keeping per-voxel centroids (PCL VoxelGrid
     semantics, reference LocalMap.h:562-567).
 
@@ -57,10 +58,13 @@ def voxel_downsample_centroid(xyz: jnp.ndarray, mask: jnp.ndarray, res):
       xyz: f32[N, 3]
       mask: bool[N] valid lanes
       res: scalar voxel edge (traced value allowed)
+      extras: optional per-lane channels f32[N] or f32[N,d]; averaged per
+        voxel alongside the coordinates (e.g. per-point time for
+        undistortion of merged points)
 
     Returns:
-      (xyz_out f32[N,3], mask_out bool[N]) — one valid lane per occupied
-      voxel, compacted to the front; invalid lanes zeroed.
+      (xyz_out f32[N,3], mask_out bool[N], *extras_out) — one valid lane per
+      occupied voxel, compacted to the front; invalid lanes zeroed.
     """
     n = xyz.shape[0]
     coords = voxel_coords(xyz, res)
@@ -83,11 +87,20 @@ def voxel_downsample_centroid(xyz: jnp.ndarray, mask: jnp.ndarray, res):
     seg_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # [N]
 
     w = ms.astype(xyz.dtype)
-    sums = jops.segment_sum(xs * w[:, None], seg_id, num_segments=n)
     cnts = jops.segment_sum(w, seg_id, num_segments=n)
-    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    safe = jnp.maximum(cnts, 1.0)
     out_mask = cnts > 0.0
-    return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
+
+    def seg_mean(a):
+        wcol = w[:, None] if a.ndim > 1 else w
+        s = jops.segment_sum(a * wcol, seg_id, num_segments=n)
+        m = s / (safe[:, None] if a.ndim > 1 else safe)
+        zmask = out_mask[:, None] if a.ndim > 1 else out_mask
+        return jnp.where(zmask, m, 0.0)
+
+    centroids = seg_mean(xs)
+    outs = tuple(seg_mean(e[order]) for e in extras)
+    return (centroids, out_mask) + outs
 
 
 def voxel_downsample_scatter(xyz: jnp.ndarray, mask: jnp.ndarray, res,
@@ -115,22 +128,6 @@ def voxel_downsample_scatter(xyz: jnp.ndarray, mask: jnp.ndarray, res,
     claims = jnp.full((T,), jnp.int32(2147483647)).at[slot].min(lane, mode="drop")
     win = mask & (claims[jnp.minimum(slot, T - 1)] == lane)
     return win
-
-
-def compact_masked(mask: jnp.ndarray, *arrays):
-    """Stable-move valid lanes to the front.
-
-    Returns ``(count, mask_out, arrays_out...)``: ``mask_out`` is True for the
-    first ``count`` lanes.  Invalid lanes keep whatever values the sort placed
-    there; consumers must respect the mask.
-    """
-    order = jnp.argsort(jnp.logical_not(mask), stable=True)
-    count = jnp.sum(mask.astype(jnp.int32))
-    n = mask.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    mask_out = idx < count
-    outs = tuple(a[order] for a in arrays)
-    return (count, mask_out) + outs
 
 
 def uniform_stride_mask(n: int, stride: int) -> jnp.ndarray:

@@ -21,10 +21,12 @@ from superodom_tpu.config import PipelineConfig, RuntimeParams
 from superodom_tpu.frontend import (
     ImuWindow,
     Scan,
+    VioWindow,
     curvature_edge_extraction,
     decimated_width,
     thin_and_select,
     undistort_points,
+    undistort_points_posed,
     uniform_feature_extraction,
     uniform_feature_gates,
 )
@@ -55,7 +57,6 @@ from superodom_tpu.mapstate import (
     evict_far,
     insert,
 )
-from superodom_tpu.ops.voxel import voxel_downsample_scatter
 from superodom_tpu.registration import (
     IcpStats,
     PosePrior,
@@ -127,6 +128,16 @@ def empty_imu_window(m: int, dtype=jnp.float32) -> ImuWindow:
         gyr=jnp.zeros((m, 3), dtype),
         q=jnp.tile(quat_identity(dtype)[None], (m, 1)),
         mask=jnp.zeros((m,), bool),
+    )
+
+
+def empty_vio_window(k: int, dtype=jnp.float32) -> VioWindow:
+    """All-masked-out external-odometry window."""
+    return VioWindow(
+        t=jnp.zeros((k,), dtype),
+        q=jnp.tile(quat_identity(dtype)[None], (k, 1)),
+        p=jnp.zeros((k, 3), dtype),
+        mask=jnp.zeros((k,), bool),
     )
 
 
@@ -231,7 +242,12 @@ def _select_prediction(
         imu_available, PRED_IMU_ORIENTATION, PRED_CONSTANT_VELOCITY
     )
     if lio_pose is not None:
-        use_lio = lio_available & imu_available
+        # the reference trusts LIO only when the LAST solve was healthy
+        # (determinePredictionSource checks isDegenerate first,
+        # laserMapping.cpp:384-402): under degeneracy the smoother's
+        # velocity is fed by unobservable lidar poses and LIO prediction
+        # closes a positive feedback loop — fall back to the safe sources
+        use_lio = lio_available & imu_available & ~state.degenerate
         normal_pose = jax.tree_util.tree_map(
             lambda a, b: jnp.where(use_lio, a, b), lio_pose, normal_pose
         )
@@ -277,12 +293,15 @@ def step(
     scan: Scan,
     imu: ImuWindow,
     imu_available: jnp.ndarray,
+    vio: VioWindow | None = None,
 ) -> Tuple[OdomState, StepOutput]:
     """Process one scan end-to-end.  Static under ``jax.jit`` given ``cfg``.
 
     Mirrors laserMapping::process (laserMapping.cpp:768-793) with the
     feature-extraction stage inlined ahead of it and the inertial smoother
-    after it.
+    after it.  ``vio`` (an external 6-DoF pose path covering the sweep) is
+    consumed only when ``cfg.use_vio_undistortion`` — see
+    :func:`_apply_vio_undistortion`.
     """
     dtype = scan.xyz.dtype
     sensor = cfg.sensor
@@ -352,6 +371,22 @@ def step(
     surf_pts = jnp.where(imu_available, surf_u, surf_raw)
     q_imu_pred = jnp.where(imu_available, q_w_orig_l, quat_identity(dtype))
 
+    # 6-DoF VIO-path undistortion (reference removePointDistortion<Odometry>,
+    # featureExtraction.cpp:236-249,462-468): when the external pose path
+    # covers the sweep, rotation AND translation of the platform during the
+    # sweep are removed — rotation-only IMU undistortion leaves a
+    # v * scan_period smear under fast translation.
+    vio_ok = jnp.asarray(False)
+    vio_start = state.vio_pose
+    if cfg.use_vio_undistortion and vio is not None:
+        vio_ok = _vio_covers(scan, vio)
+        surf_v, q_vio0, p_vio0 = undistort_points_posed(
+            surf_raw, surf_trel, surf_mask, scan.t_start,
+            vio.t, vio.q, vio.p, vio.mask,
+        )
+        surf_pts = jnp.where(vio_ok, surf_v, surf_pts)
+        vio_start = Pose(q_vio0, p_vio0)
+
     if cfg.use_edge_features:
         em_full = curvature_edge_extraction(
             scan.xyz, scan.ring, scan.mask,
@@ -366,12 +401,31 @@ def step(
             edge_raw, edge_trel, edge_mask, scan.t_start, imu, R_il, t_il
         )
         edge_pts = jnp.where(imu_available, edge_u, edge_raw)
+        if cfg.use_vio_undistortion and vio is not None:
+            edge_v, _, _ = undistort_points_posed(
+                edge_raw, edge_trel, edge_mask, scan.t_start,
+                vio.t, vio.q, vio.p, vio.mask,
+            )
+            edge_pts = jnp.where(vio_ok, edge_v, edge_pts)
     else:
         # slim-release parity: empty edge clouds (featureExtraction.cpp:429)
         edge_pts = jnp.zeros((sensor.max_edge_features, 3), dtype)
         edge_mask = jnp.zeros((sensor.max_edge_features,), bool)
 
     # ---------------- prediction ------------------------------------------
+    if cfg.use_vio_undistortion and vio is not None:
+        # a covering VIO window refreshes the external-pose aiding for THIS
+        # scan (prediction source + absolute-pose prior under degeneracy);
+        # availability is per-scan freshness, not sticky — a dropped-out VIO
+        # stream must not leave a stale prior active (the reference checks
+        # vision/laser time alignment, laserMapping.cpp:384-412)
+        state = state._replace(
+            vio_pose=jax.tree_util.tree_map(
+                lambda a, b: jnp.where(vio_ok, a, b), vio_start,
+                state.vio_pose,
+            ),
+            vio_available=vio_ok,
+        )
     # LIO source: preintegrate the carried previous interval ONCE; shared
     # with the smoother below (integrate_imumeasurement's dual role in the
     # reference, imuPreintegration.cpp:250-276)
@@ -576,6 +630,18 @@ def _pose_delta(a: Pose, b: Pose):
     return jnp.linalg.norm(rel.t), quat_angle(rel.q)
 
 
+def _vio_covers(scan: Scan, vio: VioWindow) -> jnp.ndarray:
+    """Sweep-coverage gate for the external pose path: >= 2 samples spanning
+    [t_start, t_end] (the reference requires the scan fully inside the
+    measurement timespan, synchronize_measurements,
+    featureExtraction.cpp:171-217)."""
+    n = jnp.sum(vio.mask.astype(jnp.int32))
+    tmin = jnp.min(jnp.where(vio.mask, vio.t, jnp.inf))
+    tmax = jnp.max(jnp.where(vio.mask, vio.t, -jnp.inf))
+    t_end = scan.t_start + jnp.max(jnp.where(scan.mask, scan.t_rel, 0.0))
+    return (n >= 2) & (tmin <= scan.t_start + 1e-6) & (tmax + 1e-6 >= t_end)
+
+
 def _vio_information(state, surf_mask, reg, dtype):
     """Information weights of the absolute-pose constraint under degeneracy
     (reference addAbsolutePoseConstraints, LidarSlam.cpp:285-298): per-axis
@@ -602,11 +668,17 @@ def make_step_fn(cfg: PipelineConfig):
     """jit-compiled step with the config closed over (static).
 
     Cached by config (frozen dataclasses hash) so repeated runners with the
-    same config reuse one compiled program.
+    same config reuse one compiled program.  When
+    ``cfg.use_vio_undistortion`` the compiled step takes a trailing
+    VioWindow argument.
     """
 
-    def _step(state, scan, imu, imu_available):
-        return step(cfg, state, scan, imu, imu_available)
+    if cfg.use_vio_undistortion:
+        def _step(state, scan, imu, imu_available, vio):
+            return step(cfg, state, scan, imu, imu_available, vio)
+    else:
+        def _step(state, scan, imu, imu_available):
+            return step(cfg, state, scan, imu, imu_available)
 
     return jax.jit(_step)
 
@@ -618,16 +690,26 @@ def make_chunked_step_fn(cfg: PipelineConfig):
     One device dispatch processes many scans back to back — this amortizes
     host->device transfer and dispatch latency, which dominates single-scan
     stepping on remote-attached accelerators.  Inputs are Scan/ImuWindow
-    pytrees with a leading chunk dimension; returns (final state, stacked
+    pytrees with a leading chunk dimension (plus stacked VioWindows when
+    ``cfg.use_vio_undistortion``); returns (final state, stacked
     StepOutputs)."""
 
-    def _chunk(state, scans, imus, avails):
-        def body(st, inp):
-            scan, imu, avail = inp
-            st, out = step(cfg, st, scan, imu, avail)
-            return st, out
+    if cfg.use_vio_undistortion:
+        def _chunk(state, scans, imus, avails, vios):
+            def body(st, inp):
+                scan, imu, avail, vio = inp
+                st, out = step(cfg, st, scan, imu, avail, vio)
+                return st, out
 
-        return jax.lax.scan(body, state, (scans, imus, avails))
+            return jax.lax.scan(body, state, (scans, imus, avails, vios))
+    else:
+        def _chunk(state, scans, imus, avails):
+            def body(st, inp):
+                scan, imu, avail = inp
+                st, out = step(cfg, st, scan, imu, avail)
+                return st, out
+
+            return jax.lax.scan(body, state, (scans, imus, avails))
 
     # NOTE: donating the state is tempting (maps are tens of MB) but state
     # leaves legally alias (pose_prev shares pose's buffer after a rollback),

@@ -585,6 +585,10 @@ def icp_register(
     exceeds per-iteration ICP corrections.  ``use_edges=False`` statically
     removes the edge path (the slim reference ships empty edge clouds)."""
     max_it = reg.max_icp_iters
+    if max_it < 1:
+        # with 0 iterations the placeholder (all-invalid) correspondences
+        # would reach the final H/stats and yield a degenerate normal system
+        raise ValueError("max_icp_iters must be >= 1")
     dtype = surf_pts.dtype
 
     surf_cand, surf_cvalid = gather_candidates(
@@ -744,6 +748,10 @@ def icp_register(
         obs_histogram=obs_hist,
         uncertainty=lidar_uncertainty_from_histogram(obs_hist),
         error=err,
-        degenerate=err.pos_inverse_condition < reg.pos_degeneracy_threshold,
+        # 6-DoF alignment risk: EITHER block degenerate flags the frame
+        # (reference EstimateRegistrationError covers both blocks,
+        # LidarSlam.cpp:854-889 / LidarSlam.h:127-151)
+        degenerate=(err.pos_inverse_condition < reg.pos_degeneracy_threshold)
+        | (err.ori_inverse_condition < reg.ori_degeneracy_threshold),
     )
     return pose.normalize(), stats

@@ -23,9 +23,10 @@ import numpy as np
 
 from superodom_tpu import native
 from superodom_tpu.config import Extrinsics, PipelineConfig
-from superodom_tpu.frontend import ImuWindow, Scan
+from superodom_tpu.frontend import ImuWindow, Scan, VioWindow
 from superodom_tpu.pipeline import (
     StepOutput,
+    empty_vio_window,
     init_state,
     make_chunked_step_fn,
     make_step_fn,
@@ -40,6 +41,13 @@ class RunResult:
     stats: List[dict]
     wall_time_s: float
     scans_per_sec: float
+    # streamed IMU-rate odometry (reference ~200 Hz integration published
+    # every 4th sample => ~50 Hz, imuPreintegration.cpp:629,648-650);
+    # populated when run_dataset(high_rate=True)
+    high_rate_t: Optional[np.ndarray] = None  # [m] sample times
+    high_rate_q: Optional[np.ndarray] = None  # [m,4]
+    high_rate_p: Optional[np.ndarray] = None  # [m,3]
+    high_rate_v: Optional[np.ndarray] = None  # [m,3]
 
     def return_to_origin_error(self) -> float:
         return float(np.linalg.norm(self.poses_t[-1] - self.poses_t[0]))
@@ -83,6 +91,9 @@ class OdometryRunner:
         )
         self.imu_init = None  # (acc_mean, gyr_bias, q0) after static init
         self._imu_t_first: Optional[float] = None
+        # external-odometry pose samples for 6-DoF path undistortion
+        # (bounded like the reference's visualOdomBuf, MapRingBuffer 5000)
+        self._vio_samples: list = []
         # online ingestion state (push_scan)
         self._frame_count = 0
         self._scan_queue: list = []
@@ -137,6 +148,45 @@ class OdometryRunner:
         )
 
     # ---------------- external odometry (VIO) aiding ------------------------
+    def add_vio_pose(self, t: float, q_wxyz: np.ndarray, p_xyz: np.ndarray):
+        """Ingest one external-odometry pose sample (T_w_lidar at time t).
+        With ``cfg.use_vio_undistortion`` the runner builds a per-scan pose
+        path from these for 6-DoF undistortion (the reference's
+        visual_odom_Handler feeding visualOdomBuf)."""
+        self._vio_samples.append(
+            (float(t), np.asarray(q_wxyz, np.float32),
+             np.asarray(p_xyz, np.float32))
+        )
+        if len(self._vio_samples) > 5000:
+            self._vio_samples.pop(0)
+
+    def _vio_window(self, t0: float, t1: float) -> VioWindow:
+        """Pose samples bracketing [t0, t1], evenly decimated to the static
+        window capacity; all-masked when the stream does not cover the
+        sweep (the on-device coverage gate re-checks)."""
+        k = self.cfg.max_vio_per_scan
+        ts = np.asarray([s[0] for s in self._vio_samples])
+        if len(ts) < 2 or ts[0] > t0 or ts[-1] < t1:
+            return empty_vio_window(k, self.dtype)
+        lo = int(np.searchsorted(ts, t0, side="right")) - 1
+        hi = int(np.searchsorted(ts, t1, side="left")) + 1
+        sel = list(range(max(lo, 0), min(hi, len(ts))))
+        if len(sel) > k:  # keep endpoints, decimate the interior evenly
+            idx = np.linspace(0, len(sel) - 1, k).round().astype(int)
+            sel = [sel[i] for i in idx]
+        n = len(sel)
+        pad = k - n
+        q = np.stack([self._vio_samples[i][1] for i in sel])
+        p = np.stack([self._vio_samples[i][2] for i in sel])
+        return VioWindow(
+            t=jnp.asarray(np.pad(ts[sel], (0, pad)), self.dtype),
+            q=jnp.asarray(np.concatenate(
+                [q, np.tile(np.array([1, 0, 0, 0], np.float32), (pad, 1))]
+            ), self.dtype),
+            p=jnp.asarray(np.pad(p, ((0, pad), (0, 0))), self.dtype),
+            mask=jnp.asarray(np.arange(k) < n),
+        )
+
     def set_vio_pose(self, q_wxyz: np.ndarray, t_xyz: np.ndarray,
                      available: bool = True):
         """Provide an external (e.g. visual-inertial) absolute pose estimate.
@@ -203,9 +253,10 @@ class OdometryRunner:
         scan = self.make_scan(t_start, xyz, t_rel)
         t_end = t_start + (float(t_rel[-1]) if len(t_rel) else 0.0)
         window, synced = self._imu_window(t_start, t_end)
-        self.state, out = self.step_fn(
-            self.state, scan, window, jnp.asarray(synced)
-        )
+        args = (self.state, scan, window, jnp.asarray(synced))
+        if self.cfg.use_vio_undistortion:
+            args = args + (self._vio_window(t_start, t_end),)
+        self.state, out = self.step_fn(*args)
         self._last_window = window
         return out
 
@@ -315,10 +366,16 @@ class OdometryRunner:
                 out.icp.line_rejection_hist).tolist(),
             "obs_histogram": np.asarray(out.icp.obs_histogram).tolist(),
             "position_error": float(out.icp.error.position_error),
+            "position_error_dir": np.asarray(
+                out.icp.error.position_error_dir).tolist(),
             "pos_inverse_condition": float(
                 out.icp.error.pos_inverse_condition),
             "orientation_error_deg": float(
                 out.icp.error.orientation_error_deg),
+            "orientation_error_dir": np.asarray(
+                out.icp.error.orientation_error_dir).tolist(),
+            "ori_inverse_condition": float(
+                out.icp.error.ori_inverse_condition),
             "iterations": [
                 {
                     "translation_norm": float(out.icp.iter_trans_norm[k]),
@@ -341,17 +398,42 @@ class OdometryRunner:
         return rec
 
     # ---------------- dataset replay ---------------------------------------
+    def _ingest_dataset_vio(self, dataset) -> None:
+        """Feed a dataset's external-odometry stream (``dataset.vio`` with
+        t/q/p arrays), if present and the VIO undistortion path is on."""
+        vio = getattr(dataset, "vio", None)
+        if vio is None or not self.cfg.use_vio_undistortion:
+            return
+        if self._vio_samples and self._vio_samples[-1][0] >= float(vio.t[0]):
+            return  # already ingested (chunked replay after per-scan replay)
+        for i in range(len(vio.t)):
+            self.add_vio_pose(vio.t[i], vio.q[i], vio.p[i])
+
     def run_dataset(self, dataset, use_imu: bool = True, log_path: Optional[str] = None,
-                    warmup: bool = True) -> RunResult:
+                    warmup: bool = True, high_rate: bool = False) -> RunResult:
+        """Replay a dataset scan by scan.
+
+        ``high_rate=True`` additionally streams the IMU-rate odometry: after
+        each scan the latest smoothed state is propagated through the scan's
+        IMU window and every ``cfg.imu.high_rate_decimation``-th sample is
+        emitted (the reference publishes every 4th ~200 Hz integration step
+        => ~50 Hz, imuPreintegration.cpp:629,648-650)."""
         imu_i = 0
         imu = dataset.imu
+        self._ingest_dataset_vio(dataset)
         poses_q, poses_t, smoothed_t, stats = [], [], [], []
+        hr_t, hr_q, hr_p, hr_v = [], [], [], []
+        hr_last_t = -np.inf
 
         if warmup:  # trigger compilation outside the timed loop
             s0 = dataset.scans[0]
             scan = self.make_scan(s0.t_start, s0.xyz_body, s0.t_rel)
             win = self._empty_window()
-            self.step_fn(self.state, scan, win, jnp.asarray(False))
+            wargs = (self.state, scan, win, jnp.asarray(False))
+            if self.cfg.use_vio_undistortion:
+                wargs = wargs + (empty_vio_window(
+                    self.cfg.max_vio_per_scan, self.dtype),)
+            self.step_fn(*wargs)
 
         t_begin = time.perf_counter()
         for i, s in enumerate(dataset.scans):
@@ -371,6 +453,17 @@ class OdometryRunner:
                 self._stats_record(out, i, t=float(s.t_start),
                                    time_ms=scan_ms)
             )
+            if high_rate and self._last_window is not None:
+                ts, qs, ps, vs = self.high_rate_states()
+                dec = self.cfg.imu.high_rate_decimation
+                for k in range(0, len(ts), dec):
+                    if ts[k] <= hr_last_t:  # windows overlap at boundaries
+                        continue
+                    hr_last_t = float(ts[k])
+                    hr_t.append(ts[k])
+                    hr_q.append(qs[k])
+                    hr_p.append(ps[k])
+                    hr_v.append(vs[k])
         jax.block_until_ready(self.state)
         wall = time.perf_counter() - t_begin
 
@@ -386,11 +479,15 @@ class OdometryRunner:
             stats=stats,
             wall_time_s=wall,
             scans_per_sec=len(dataset.scans) / wall,
+            high_rate_t=np.asarray(hr_t) if high_rate else None,
+            high_rate_q=np.asarray(hr_q) if high_rate else None,
+            high_rate_p=np.asarray(hr_p) if high_rate else None,
+            high_rate_v=np.asarray(hr_v) if high_rate else None,
         )
 
     def run_dataset_chunked(self, dataset, use_imu: bool = True,
-                            chunk: int = 16, preload: bool = True
-                            ) -> RunResult:
+                            chunk: int = 16, preload: bool = True,
+                            time_chunks: bool = False) -> RunResult:
         """Replay with lax.scan-batched dispatch: `chunk` scans per device
         call.  Requires the dataset offline (all IMU available up front) —
         the high-throughput replay mode (BASELINE.md north star).
@@ -398,15 +495,22 @@ class OdometryRunner:
         ``preload=True`` uploads the whole replay to device memory before
         the timed loop (the reference's "bag in page cache" semantics);
         ``preload=False`` keeps host->device streaming INSIDE the timed
-        region — the number a live deployment would see."""
+        region — the number a live deployment would see.
+
+        ``time_chunks=True`` blocks after every chunk and stamps each scan
+        with its own chunk's wall time / ``chunk`` — at chunk sizes 8-16
+        this yields real latency percentiles (the reference stamps each
+        frame, laserMapping.cpp:581-596); the default stamps the whole-run
+        mean (async dispatch, maximum throughput)."""
         if self._chunk_fn is None:
             self._chunk_fn = make_chunked_step_fn(self.step_cfg)
 
-        # ingest all IMU first (offline replay)
+        # ingest all IMU + VIO first (offline replay)
         imu = dataset.imu
         if use_imu:
             for i in range(len(imu.t)):
                 self.add_imu(imu.t[i], imu.acc[i], imu.gyr[i])
+        self._ingest_dataset_vio(dataset)
 
         # prebuild stacked inputs
         def build(s):
@@ -416,7 +520,10 @@ class OdometryRunner:
                 win, ok = self._imu_window(s.t_start, t_end)
             else:
                 win, ok = self._empty_window(), False
-            return scan, win, jnp.asarray(ok)
+            out = (scan, win, jnp.asarray(ok))
+            if self.cfg.use_vio_undistortion:
+                out = out + (self._vio_window(s.t_start, t_end),)
+            return out
 
         built = [build(s) for s in dataset.scans]
         n = len(built)
@@ -437,9 +544,10 @@ class OdometryRunner:
                 lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), leaves
             )
 
-        host_inputs = (stack_host(lambda b: b[0]),
-                       stack_host(lambda b: b[1]),
-                       stack_host(lambda b: b[2]))
+        n_inputs = len(built[0])  # scan, imu, avail[, vio]
+        host_inputs = tuple(
+            stack_host(lambda b, j=j: b[j]) for j in range(n_inputs)
+        )
         index = lambda tree, c: jax.tree_util.tree_map(lambda a: a[c], tree)
         if preload:
             # whole replay resident in HBM before timing: streaming
@@ -452,44 +560,48 @@ class OdometryRunner:
         poses_q, poses_t, smoothed_t, stats = [], [], [], []
 
         # warmup compile on the first chunk shape
-        first = (index(dev_inputs[0], 0), index(dev_inputs[1], 0),
-                 index(dev_inputs[2], 0)) if preload else jax.device_put(
-                     (index(host_inputs[0], 0), index(host_inputs[1], 0),
-                      index(host_inputs[2], 0)))
+        first = (tuple(index(t, 0) for t in dev_inputs) if preload
+                 else jax.device_put(
+                     tuple(index(t, 0) for t in host_inputs)))
         _ = self._chunk_fn(self.state, *first)
         jax.block_until_ready(_[0])
 
         t_begin = time.perf_counter()
         pending = []
-        host_chunk = lambda c: (index(host_inputs[0], c),
-                                index(host_inputs[1], c),
-                                index(host_inputs[2], c))
+        chunk_ms: List[float] = []
+        host_chunk = lambda c: tuple(index(t, c) for t in host_inputs)
         if not preload:
             next_inp = jax.device_put(host_chunk(0))
         for c in range(n_chunks):
             if preload:
-                inp = (index(dev_inputs[0], c), index(dev_inputs[1], c),
-                       index(dev_inputs[2], c))
+                inp = tuple(index(t, c) for t in dev_inputs)
             else:
                 inp = next_inp
+            t_chunk0 = time.perf_counter()
             self.state, outs = self._chunk_fn(self.state, *inp)
             if not preload and c + 1 < n_chunks:
                 # double-buffered streaming: the dispatch above is async, so
                 # issuing chunk c+1's upload NOW overlaps the host->device
                 # transfer with chunk c's device compute
                 next_inp = jax.device_put(host_chunk(c + 1))
-            # keep device->host reads OUT of the loop: each scalar read is a
-            # full round trip on a remote-attached device
+            if time_chunks:
+                # block per chunk: each chunk's wall time is real (costs one
+                # device round trip per chunk, amortized over `chunk` scans)
+                jax.block_until_ready(self.state)
+                chunk_ms.append((time.perf_counter() - t_chunk0) * 1000.0)
+            # keep device->host reads OUT of the loop otherwise: each scalar
+            # read is a full round trip on a remote-attached device
             pending.append(outs)
         jax.block_until_ready(self.state)
         wall = time.perf_counter() - t_begin  # registration work ends here;
         # stats readback below is reporting, not estimation
-        per_scan_ms = wall / max(n_chunks * chunk, 1) * 1000.0
+        mean_scan_ms = wall / max(n_chunks * chunk, 1) * 1000.0
         host = jax.device_get(pending)
         for c, outs in enumerate(host):
             poses_q.append(outs.pose.q)
             poses_t.append(outs.pose.t)
             smoothed_t.append(outs.smoothed_pose.t)
+            per_scan_ms = chunk_ms[c] / chunk if time_chunks else mean_scan_ms
             for k in range(chunk):
                 out_k = jax.tree_util.tree_map(lambda a: a[k], outs)
                 stats.append(self._stats_record(
@@ -497,7 +609,7 @@ class OdometryRunner:
         # trailing remainder: per-scan path (full record surface kept)
         for b in built[n_chunks * chunk:]:
             t_scan0 = time.perf_counter()
-            self.state, out = self.step_fn(self.state, b[0], b[1], b[2])
+            self.state, out = self.step_fn(self.state, *b)
             out = jax.device_get(out)
             scan_ms = (time.perf_counter() - t_scan0) * 1000.0
             poses_q.append(out.pose.q[None])

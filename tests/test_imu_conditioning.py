@@ -121,11 +121,16 @@ def test_tilted_imu_tracks_with_conditioning(tilted_dataset):
                                      warmup=False)
     ba_max_raw = max(
         float(np.linalg.norm(s["acc_bias"])) for s in res_raw.stats)
-    unhealthy_raw = sum(not s["imu_healthy"] for s in res_raw.stats)
-    # without conditioning the gravity leak (g*sin 30 deg ~ 4.9 m/s^2) is
-    # forced into the acc bias until the failure gates fire — the round-1
-    # behavior this test exists to prevent
-    assert unhealthy_raw >= 3, (
-        f"expected raw-IMU failure gates to trip: {unhealthy_raw}")
+    smooth_err_raw = float(np.linalg.norm(
+        res_raw.smoothed_t - res_raw.poses_t, axis=1).max())
+    # without conditioning the gravity leak (g*sin 30 deg ~ 4.9 m/s^2) has
+    # nowhere consistent to go: the marginalizing smoother absorbs part of
+    # it into a ballooned acc bias and tilted/offset window states instead
+    # of tripping the gates outright (the pre-marginalization solver did),
+    # so the degradation signals are the smoothed-vs-primary divergence and
+    # the bias blow-up — both must clearly separate from the conditioned run
+    assert smooth_err_raw > 2.0 * smooth_err, (
+        f"expected raw-IMU smoothed divergence: {smooth_err_raw} "
+        f"vs {smooth_err}")
     assert ba_max_raw > 2.0 * ba_max, (
         f"expected raw-IMU bias blow-up: {ba_max_raw} vs {ba_max}")

@@ -163,3 +163,116 @@ def test_high_rate_propagation():
     assert abs(xs[-1] - 0.5 * dt_total**2) < 5e-3
     vx = np.asarray(vels)[np.asarray(mask), 0]
     assert abs(vx[-1] - dt_total) < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# smoother value-add (VERDICT round-2 item 6): tests that would FAIL if the
+# fixed-lag-GN-approximates-ISAM2 claim (PARITY #6) or the white-noise IMU
+# weight simplification (PARITY #7) were wrong
+# ---------------------------------------------------------------------------
+
+
+def _sinusoid_sequence(n_keys, acc_bias=np.zeros(3), gyr_bias=np.zeros(3),
+                       amp=0.5, freq=0.5, pose_noise=0.0, seed=0,
+                       rate=200.0):
+    """Keyframes along an x-sinusoid with a consistent IMU stream
+    (acc = a_body + g + bias).  Acceleration excitation makes the acc bias
+    observable (a constant-velocity sequence would not).
+
+    Window k carries the samples in (0.1k, 0.1(k+1)] — contiguous tiling,
+    no duplicated boundary sample — and the ground-truth keyframes are
+    integrated from the sampled accelerations with the SAME right-rectangle
+    rule as the preintegration chain, so at the true bias the IMU factors
+    are exactly consistent with the pose priors (a closed-form gt would
+    alias the discretization error into the estimated bias)."""
+    rng = np.random.default_rng(seed)
+    w = 2 * np.pi * freq
+    dt = 1.0 / rate
+    n_per = int(round(0.1 * rate))
+    windows, poses, times, gt = [], [], [], []
+    v = np.zeros(3)
+    p = np.zeros(3)
+    for k in range(n_keys):
+        t = 0.1 * k + (np.arange(n_per) + 1) * dt
+        a_x = -amp * w * w * np.sin(w * t)
+        a_true = np.stack([a_x, np.zeros_like(t), np.zeros_like(t)], axis=1)
+        for a in a_true:  # right-rectangle, matching _integrate_chain
+            p = p + v * dt + 0.5 * a * dt * dt
+            v = v + a * dt
+        acc = a_true + np.array([0.0, 0.0, G]) + acc_bias[None, :]
+        gyr = np.tile(gyr_bias, (n_per, 1))
+        windows.append(make_window(t, acc.astype(np.float32),
+                                   gyr.astype(np.float32)))
+        gt.append(p.copy())
+        meas = gt[-1] + rng.normal(0, pose_noise, 3)
+        poses.append(geo.Pose(geo.quat_identity(),
+                              jnp.asarray(meas, jnp.float32)))
+        times.append(0.1 * (k + 1))
+    return windows, poses, times, np.asarray(gt)
+
+
+def test_smoother_recovers_acc_bias():
+    """Accelerating platform with a biased accelerometer and perfect lidar
+    poses: the bias states must converge to the injected acc bias (the role
+    of GTSAM's BetweenFactor-chained bias estimation,
+    imuPreintegration.cpp:279-337)."""
+    bias_a = np.array([0.15, -0.1, 0.2], np.float32)
+    windows, poses, times, _ = _sinusoid_sequence(60, acc_bias=bias_a)
+    st, outs = _run_smoother(poses, times, windows)
+    assert not bool(st.failed)
+    # convergence is asymptotic: marginalized factors stay linearized at
+    # the estimates they were dropped with, so early (wrong-bias) info must
+    # decay out of the carried prior (ImuConfig.prior_forgetting)
+    np.testing.assert_allclose(np.asarray(st.ba[-1]), bias_a, atol=0.04)
+    # with the bias absorbed the smoothed pose still tracks the lidar pose
+    np.testing.assert_allclose(np.asarray(outs[-1].t[1:]), 0.0, atol=0.02)
+
+
+def test_smoother_window_6_vs_12_equivalent():
+    """PARITY #6: with true fixed-lag marginalization the lag length is
+    immaterial once both windows are warm — states beyond the lag live on
+    inside the carried marginal prior, so doubling the window at the
+    reference's reset horizon must not change the estimates materially
+    (fixed-lag ~ ISAM2-with-reset equivalence).  The comparison starts
+    after BOTH windows have filled and begun marginalizing (key 25 > 2x12);
+    before that their startup transients legitimately differ."""
+    bias_a = np.array([0.1, -0.05, 0.08], np.float32)
+    bias_g = np.array([0.01, 0.02, -0.015], np.float32)
+    outs = {}
+    for w in (6, 12):
+        cfg = ImuConfig(max_imu_per_scan=48, window_size=w,
+                        smoother_gn_iters=3)
+        windows, poses, times, _ = _sinusoid_sequence(
+            40, acc_bias=bias_a, gyr_bias=bias_g)
+        st = iner.smoother_init(cfg)
+        sm = []
+        for pose, t, win in zip(poses, times, windows):
+            st, s = iner.smoother_update(st, cfg, pose, t, win)
+            sm.append(np.asarray(s.t))
+        outs[w] = (np.asarray(sm), np.asarray(st.ba[-1]),
+                   np.asarray(st.bg[-1]))
+    np.testing.assert_allclose(outs[6][0][25:], outs[12][0][25:], atol=4e-3)
+    np.testing.assert_allclose(outs[6][1], outs[12][1], atol=0.02)
+    np.testing.assert_allclose(outs[6][2], outs[12][2], atol=2e-3)
+
+
+def test_smoother_beats_raw_lidar_on_noisy_poses():
+    """PARITY #7: with the lidar prior weighted at its true noise level,
+    fusing the (clean) IMU must beat the raw lidar poses — the test fails
+    if the IMU factors or their weights are wrong."""
+    noise = 0.05
+    cfg = ImuConfig(max_imu_per_scan=48, window_size=6, smoother_gn_iters=3,
+                    lidar_correction_noise=noise)
+    windows, poses, times, gt = _sinusoid_sequence(
+        40, pose_noise=noise, seed=3)
+    st = iner.smoother_init(cfg)
+    sm = []
+    for pose, t, win in zip(poses, times, windows):
+        st, s = iner.smoother_update(st, cfg, pose, t, win)
+        sm.append(np.asarray(s.t))
+    sm = np.asarray(sm)
+    raw = np.asarray([np.asarray(p.t) for p in poses])
+    # skip the first half-window while the smoother fills
+    rmse_raw = np.sqrt(np.mean((raw[6:] - gt[6:]) ** 2))
+    rmse_sm = np.sqrt(np.mean((sm[6:] - gt[6:]) ** 2))
+    assert rmse_sm < 0.75 * rmse_raw, (rmse_sm, rmse_raw)

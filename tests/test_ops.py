@@ -1,7 +1,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from superodom_tpu.ops import eigh3, solve3, voxel_downsample_centroid, compact_masked
+from superodom_tpu.ops import eigh3, solve3, voxel_downsample_centroid
 from superodom_tpu.ops.voxel import uniform_stride_mask
 
 
@@ -82,13 +82,20 @@ def test_voxel_downsample_large_random(rng):
     assert got_keys == keys
 
 
-def test_compact_masked():
-    x = jnp.arange(10, dtype=jnp.float32)
-    mask = jnp.asarray([False, True, False, True, True, False, False, True, False, False])
-    count, mout, xout = compact_masked(mask, x)
-    assert int(count) == 4
-    np.testing.assert_allclose(np.asarray(xout)[:4], [1, 3, 4, 7])
-    np.testing.assert_array_equal(np.asarray(mout), [True] * 4 + [False] * 6)
+def test_voxel_downsample_centroid_extras(rng):
+    # extras are averaged per voxel alongside the coordinates
+    xyz = np.array(
+        [[0.1, 0.1, 0.1], [0.3, 0.2, 0.1], [0.9, 0.1, 0.1]], np.float32
+    )
+    t = np.array([0.0, 0.4, 0.1], np.float32)
+    mask = np.ones(3, bool)
+    out, out_mask, t_out = voxel_downsample_centroid(
+        jnp.asarray(xyz), jnp.asarray(mask), 0.5, jnp.asarray(t)
+    )
+    out, out_mask, t_out = map(np.asarray, (out, out_mask, t_out))
+    got = sorted(zip(np.round(out[out_mask, 0], 3), np.round(t_out[out_mask], 3)))
+    assert got == [(np.float32(0.2), np.float32(0.2)),
+                   (np.float32(0.9), np.float32(0.1))]
 
 
 def test_uniform_stride_mask():

@@ -1,0 +1,110 @@
+"""Stress-matrix qualification: the full adversarial battery (io.scenarios)
+run against BOTH the tuned ship config and the reference-envelope (parity)
+config at realistic density (VERDICT round-2 item 1: any tuning choice that
+only survives the easy world gets reverted or gated; the README accuracy
+table is sourced from the WORST case here, not the best).
+
+  python tools/stress_matrix.py                 # full battery, both configs
+  python tools/stress_matrix.py --cases aggressive_6dof far_field
+  python tools/stress_matrix.py --long-run      # adds the 2000-scan case
+  python tools/stress_matrix.py --points 16384 --json /tmp/matrix.json
+
+Runs on whatever jax backend is attached (the real chip under axon; CPU
+otherwise).  Prints one row per (case, config) with ATE over settled frames
+and the case bound, then a worst-case summary.
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _configs(points: int):
+    """(name, PipelineConfig) pairs: tuned ship config + reference envelope,
+    both at the bench's OS1 profile but with max_points sized to the
+    battery's density."""
+    sys.path.insert(0, ".")
+    from bench import _config
+
+    out = []
+    for name, kw in (("ship", {}), ("parity", {"parity": True})):
+        cfg = _config("os1", **kw)
+        cfg = dataclasses.replace(
+            cfg, sensor=dataclasses.replace(cfg.sensor, max_points=points)
+        )
+        out.append((name, cfg))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=16384,
+                    help="points per scan (battery density)")
+    ap.add_argument("--cases", nargs="*", help="subset of case names")
+    ap.add_argument("--long-run", action="store_true",
+                    help="include the 2000-scan endurance case")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="run-length multiplier")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--json", help="write the full result matrix here")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from superodom_tpu.io import scenarios as sc
+    from superodom_tpu.io.datasets import ate_rmse
+    from superodom_tpu.runner import OdometryRunner
+
+    cases = sc.stress_battery(points_per_scan=args.points, scale=args.scale,
+                              long_run=args.long_run)
+    if args.cases:
+        cases = [c for c in cases if c.name in set(args.cases)]
+    configs = _configs(args.points)
+
+    rows = []
+    for case in cases:
+        ds = case.build(np.random.default_rng(args.seed))
+        for cfg_name, cfg in configs:
+            cfg_c = dataclasses.replace(cfg, **case.cfg_overrides)
+            runner = OdometryRunner(cfg_c)
+            t0 = time.perf_counter()
+            res = runner.run_dataset(ds, use_imu=True)
+            wall = time.perf_counter() - t0
+            s = case.settle
+            finite = bool(np.all(np.isfinite(res.poses_t)))
+            ate = (ate_rmse(res.poses_t[s:], np.asarray(ds.gt_poses_t)[s:])
+                   if finite else float("inf"))
+            check_ok = True
+            if case.check is not None:
+                try:
+                    case.check(res, ds, s)
+                except AssertionError as e:
+                    check_ok = False
+                    print(f"  check failed: {e}", file=sys.stderr)
+            ok = finite and ate < case.ate_bound and check_ok
+            rows.append({
+                "case": case.name, "config": cfg_name,
+                "n_scans": len(ds.scans), "ate_m": round(ate, 4),
+                "bound_m": case.ate_bound, "check_ok": check_ok,
+                "pass": ok, "wall_s": round(wall, 1),
+            })
+            print(f"{case.name:20s} {cfg_name:7s} ate={ate:7.4f} "
+                  f"(bound {case.ate_bound}) check={'ok' if check_ok else 'FAIL'} "
+                  f"{'PASS' if ok else 'FAIL'}  [{wall:.0f}s]")
+
+    worst = max((r for r in rows if r["ate_m"] != float("inf")),
+                key=lambda r: r["ate_m"] / r["bound_m"], default=None)
+    n_fail = sum(not r["pass"] for r in rows)
+    print(f"\n{len(rows) - n_fail}/{len(rows)} passed; worst case: "
+          f"{worst['case']}/{worst['config']} ate={worst['ate_m']}"
+          if worst else "no finite rows")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
