@@ -61,7 +61,23 @@ def make_batched_step(cfg: PipelineConfig, mesh: Mesh):
 
     Returns (step_fn, shard_state) where step_fn(state, scan, imu, avail) is
     jitted with explicit in/out shardings over the mesh.
+
+    The ICP early-exit ``while_loop`` is statically replaced by the
+    fixed-count masked-iteration variant: under vmap+sharding the loop's
+    termination predicate must be agreed GLOBALLY, so XLA inserts an
+    all-reduce (every instance waits for the slowest) plus per-iteration
+    all-gathers of the loop carry — cross-instance collectives that break
+    the independent-fleet scaling model.  A static loop keeps the compiled
+    step collective-free (verified by
+    test_parallel.test_data_parallel_step_has_no_collectives).
     """
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        registration=dataclasses.replace(cfg.registration,
+                                         icp_early_exit=False),
+    )
     dummy = init_state(cfg)
     state_spec = _state_pspec(dummy)
     scan_spec = Scan(
@@ -79,16 +95,35 @@ def make_batched_step(cfg: PipelineConfig, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, P),
     )
 
-    step_fn = jax.jit(
-        vstep,
-        in_shardings=(
-            to_sharding(state_spec),
-            to_sharding(scan_spec),
-            to_sharding(imu_spec),
-            NamedSharding(mesh, P("data")),
-        ),
-        out_shardings=(to_sharding(state_spec), None),
-    )
+    if mesh.shape["model"] == 1:
+        # Pure data parallelism: shard_map pins the instance axis MANUAL, so
+        # cross-instance communication is impossible by construction — the
+        # GSPMD propagator otherwise rewrites the vmapped top_k ops
+        # (feature compaction, KNN select) as all-gather+sort across the
+        # batch, serializing the fleet on ICI.  Each shard runs its
+        # instances entirely locally.
+        from jax.experimental.shard_map import shard_map
+
+        local = shard_map(
+            vstep, mesh=mesh,
+            in_specs=(state_spec, scan_spec, imu_spec, P("data")),
+            out_specs=(state_spec, P("data")),  # P is a pytree-prefix spec
+            check_rep=False,
+        )
+        step_fn = jax.jit(local)
+    else:
+        # model-sharded map tables: the KNN path NEEDS cross-shard gathers
+        # over 'model', so this variant stays under GSPMD
+        step_fn = jax.jit(
+            vstep,
+            in_shardings=(
+                to_sharding(state_spec),
+                to_sharding(scan_spec),
+                to_sharding(imu_spec),
+                NamedSharding(mesh, P("data")),
+            ),
+            out_shardings=(to_sharding(state_spec), None),
+        )
 
     def shard_state(state: OdomState) -> OdomState:
         return jax.device_put(state, to_sharding(state_spec))
