@@ -57,18 +57,23 @@ def _config(name, tuned=True, parity=False):
         # TPU replay tuning, selected by repeated medians with the ATE guard
         # (tools/profile_final*.py, profile_n120.py, profile_r2a.py):
         # cell_capacity 16 halves the gather + point-table size at identical
-        # ATE; ONE ICP extraction round (+4 GN) both tracks best and is
-        # fastest; r^2-stratified hash thinning ("range") beats the
-        # voxel-claim scatter (267 vs 229 scans/s at n=120) at equal-or-
-        # better ATE (0.077 vs 0.082) — spatial thinning IS load-bearing
-        # (even-rate-only decimation drifted ~1 m over 12 s) but the
-        # scatter-free stratified form suffices; 2 smoother GN iterations
-        # converge within the window's tight lidar priors.
+        # ATE; r^2-stratified hash thinning ("range") beats the voxel-claim
+        # scatter (267 vs 229 scans/s at n=120) at equal-or-better ATE —
+        # spatial thinning IS load-bearing (even-rate-only decimation
+        # drifted ~1 m over 12 s) but the scatter-free stratified form
+        # suffices; 2 smoother GN iterations converge within the window's
+        # tight lidar priors.  max_icp_iters=2 (round 3): the round-2
+        # one-extraction config passed the easy BoxWorld but FAILED the
+        # adversarial battery (stop_and_go ATE 4.3, far_field 3.9,
+        # range_noise 0.48 — tools/stress_matrix.py); two extraction rounds
+        # pass every case with margin, so the extra round is load-bearing
+        # and the throughput cost is accepted (VERDICT r2: tuning that only
+        # survives the easy world gets reverted).
         cfg = dataclasses.replace(
             cfg,
             sensor=dataclasses.replace(sensor, scan_thin_mode="range"),
             map=MapConfig(cell_capacity=16),
-            registration=RegistrationConfig(max_icp_iters=1),
+            registration=RegistrationConfig(max_icp_iters=2),
             imu=ImuConfig(smoother_gn_iters=2),
         )
     return cfg

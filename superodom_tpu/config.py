@@ -181,7 +181,29 @@ class RegistrationConfig:
     # than ~0 (well-conditioned rooms read 0.6+ on both blocks).
     pos_degeneracy_threshold: float = 0.1
     ori_degeneracy_threshold: float = 0.15
+    # NOTE — Zhang-style solution remapping (zeroing GN step components
+    # along under-threshold eigendirections, "On Degeneracy of
+    # Optimization-based State Estimation") was implemented and REJECTED
+    # after stress-battery qualification; the reference likewise never
+    # remaps — its degenerate flag only arms the VIO absolute-pose prior
+    # (LidarSlam.cpp:281-298), which this pipeline reproduces.  Measured
+    # reasons: (a) the inverse-condition metric is floored by
+    # noise-manufactured information, not observability — a truly
+    # x-unobservable 80 m corridor reads 0.11-0.17 (above the 0.1
+    # threshold, so remapping never pins the axis that actually walks
+    # ~1 m) while an elongated-but-observable room reads ~0.06 (so
+    # remapping freezes an axis that carries real signal); (b) gating the
+    # hold on low ESTIMATED motion is self-confirming — once an axis
+    # freezes, estimated motion stays under any gate and the estimate
+    # diverges at platform speed (0.19 m/frame, outliers_clusters case).
     visual_confidence_factor: float = 1.0
+
+    def __post_init__(self):
+        # with 0 outer iterations the placeholder (all-invalid)
+        # correspondences would reach the final normal system (ADVICE r2)
+        if self.max_icp_iters < 1:
+            raise ValueError(
+                f"max_icp_iters must be >= 1, got {self.max_icp_iters}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -302,6 +324,17 @@ class PipelineConfig:
     use_vio_undistortion: bool = False
     # VioWindow capacity (pose samples per scan window) when enabled
     max_vio_per_scan: int = 16
+    # Constant-velocity motion compensation for scans with NO IMU coverage
+    # (dropout windows, no-IMU deployments): extrapolate the previous
+    # inter-scan twist across the sweep and de-skew against it (KISS-ICP
+    # style).  BEYOND the reference, which ships raw distorted points
+    # without IMU (featureExtraction.cpp:483-496).  Measured on the no-IMU
+    # distorted circle (test_pipeline): ATE 0.048 with vs 0.111 without.
+    # Guarded by motion-sanity bounds and inactive until the startup
+    # window has passed (the pre-init inter-frame twist is garbage) or
+    # whenever IMU/VIO covers the sweep.  Set False when feeding clouds a
+    # driver already de-skewed — double compensation adds error.
+    use_cv_undistortion: bool = True
 
     def default_runtime(self) -> RuntimeParams:
         return RuntimeParams(

@@ -102,13 +102,18 @@ def make_batched_step(cfg: PipelineConfig, mesh: Mesh):
         # (feature compaction, KNN select) as all-gather+sort across the
         # batch, serializing the fleet on ICI.  Each shard runs its
         # instances entirely locally.
-        from jax.experimental.shard_map import shard_map
+        try:  # moved out of experimental in jax 0.8 (check_rep -> check_vma)
+            from jax import shard_map
+            rep_kw = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+            rep_kw = {"check_rep": False}
 
         local = shard_map(
             vstep, mesh=mesh,
             in_specs=(state_spec, scan_spec, imu_spec, P("data")),
             out_specs=(state_spec, P("data")),  # P is a pytree-prefix spec
-            check_rep=False,
+            **rep_kw,
         )
         step_fn = jax.jit(local)
     else:

@@ -41,6 +41,7 @@ from superodom_tpu.geometry import (
     quat_normalize,
     quat_rotate,
     rpy_from_quat,
+    so3_exp,
     so3_log,
 )
 from superodom_tpu.inertial import (
@@ -230,10 +231,19 @@ def _select_prediction(
     q_pred = quat_normalize(
         quat_mul(state.pose.q, quat_mul(quat_conj(state.q_odom_pre), q_imu))
     )
-    imu_pose = Pose(q_pred, state.pose.t)
     # constant velocity: T * (T_prev^-1 * T) (laserMapping.cpp:371-375)
     rel = state.pose_prev.inverse().compose(state.pose)
     cv_pose = state.pose.compose(rel)
+    # The IMU-orientation source HOLDS the last position and relies on the
+    # full ICP correction for translation (reference laserMapping.cpp:
+    # 371-375).  Extrapolating translation at constant velocity here was
+    # tried and REVERTED: a position-hold prediction cannot compound a
+    # velocity error across frames, while CV extrapolation against weak
+    # corrections (far-field scenes) turns an under-corrected frame into a
+    # runaway (stress battery far_field: 0.25 m ATE held vs 21.6 m CV).
+    # Remapping never needs the prediction to carry translation because its
+    # motion gate restricts it to near-static platforms.
+    imu_pose = Pose(q_pred, state.pose.t)
 
     normal_pose = jax.tree_util.tree_map(
         lambda a, b: jnp.where(imu_available, a, b), imu_pose, cv_pose
@@ -371,6 +381,30 @@ def step(
     surf_pts = jnp.where(imu_available, surf_u, surf_raw)
     q_imu_pred = jnp.where(imu_available, q_w_orig_l, quat_identity(dtype))
 
+    # constant-velocity de-skew for IMU-less sweeps (KISS-ICP-style; see
+    # PipelineConfig.use_cv_undistortion): extrapolate the previous
+    # inter-scan twist across this sweep
+    use_cv = jnp.asarray(False)
+    if cfg.use_cv_undistortion:
+        rel = state.pose_prev.inverse().compose(state.pose)
+        nominal = sensor.scan_period * max(sensor.skip_frame, 1)
+        rot_vec = so3_log(rel.q)
+        # motion-sanity guard: a rollback or teleport must not smear the
+        # scan with a garbage twist
+        sane = (jnp.linalg.norm(rel.t) < 2.0) & (
+            jnp.linalg.norm(rot_vec) < 0.5)
+        # only past the startup window: before that the inter-frame twist
+        # is first-frame/startup garbage and smearing the scan with it
+        # poisons the young map (observed: 3x ATE on outliers_clusters
+        # from de-skewed pre-init frames)
+        settled = state.frame_count > cfg.startup_frames
+        use_cv = ~imu_available & state.initialized & sane & settled
+        s = (surf_trel / nominal)[:, None]
+        q_s = so3_exp(s * rot_vec[None, :])
+        cv = quat_rotate(q_s, surf_raw) + s * rel.t[None, :]
+        cv = jnp.where(surf_mask[:, None], cv, surf_raw)
+        surf_pts = jnp.where(use_cv, cv, surf_pts)
+
     # 6-DoF VIO-path undistortion (reference removePointDistortion<Odometry>,
     # featureExtraction.cpp:236-249,462-468): when the external pose path
     # covers the sweep, rotation AND translation of the platform during the
@@ -401,6 +435,12 @@ def step(
             edge_raw, edge_trel, edge_mask, scan.t_start, imu, R_il, t_il
         )
         edge_pts = jnp.where(imu_available, edge_u, edge_raw)
+        if cfg.use_cv_undistortion:
+            se = (edge_trel / nominal)[:, None]
+            q_se = so3_exp(se * rot_vec[None, :])
+            cv_e = quat_rotate(q_se, edge_raw) + se * rel.t[None, :]
+            cv_e = jnp.where(edge_mask[:, None], cv_e, edge_raw)
+            edge_pts = jnp.where(use_cv, cv_e, edge_pts)
         if cfg.use_vio_undistortion and vio is not None:
             edge_v, _, _ = undistort_points_posed(
                 edge_raw, edge_trel, edge_mask, scan.t_start,

@@ -31,8 +31,14 @@ def _configs(points: int):
     out = []
     for name, kw in (("ship", {}), ("parity", {"parity": True})):
         cfg = _config("os1", **kw)
+        # feature capacity must fit the post-decimation lane count at this
+        # density (OS1 stride 3); keep a 128-multiple for TPU tiling
+        surf_cap = min(cfg.sensor.max_surface_features,
+                       points // 3 // 128 * 128)
         cfg = dataclasses.replace(
-            cfg, sensor=dataclasses.replace(cfg.sensor, max_points=points)
+            cfg, sensor=dataclasses.replace(
+                cfg.sensor, max_points=points,
+                max_surface_features=surf_cap)
         )
         out.append((name, cfg))
     return out
@@ -49,7 +55,19 @@ def main():
                     help="run-length multiplier")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--json", help="write the full result matrix here")
+    ap.add_argument("--platform", choices=["cpu", "axon"],
+                    help="force a jax backend (the image's sitecustomize "
+                         "otherwise routes everything to the TPU relay)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/superodom_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     import numpy as np
 
