@@ -75,17 +75,12 @@ def save_prior_map(path: str, state: OdomState) -> None:
     write_pcd(path, np.asarray(pts)[np.asarray(valid)])
 
 
-def load_prior_map(path: str, cfg: PipelineConfig, state: OdomState,
-                   thin_res: float = 0.0) -> OdomState:
-    """Load a prior PCD into the surf map (reference initializationParam,
-    laserMapping.cpp:163-171), thinning on the host first if requested."""
-    from superodom_tpu.io.pcd import read_pcd
-    from superodom_tpu import native
+def insert_prior_points(cfg: PipelineConfig, state: OdomState,
+                        xyz: np.ndarray) -> OdomState:
+    """Bulk-insert world-frame points into the surf map (the in-memory half
+    of the reference's prior-map load, laserMapping.cpp:163-171)."""
     from superodom_tpu.mapstate import insert
 
-    xyz = read_pcd(path)
-    if thin_res > 0:
-        xyz = native.voxel_downsample(xyz, thin_res)
     surf = state.surf_map
     # insert in bounded batches to keep scatter widths static-friendly
     batch = 65536
@@ -98,3 +93,16 @@ def load_prior_map(path: str, cfg: PipelineConfig, state: OdomState,
         surf = insert(surf, cfg.map, jnp.asarray(arr), jnp.asarray(mask), res,
                       max_writes=batch)
     return state._replace(surf_map=surf)
+
+
+def load_prior_map(path: str, cfg: PipelineConfig, state: OdomState,
+                   thin_res: float = 0.0) -> OdomState:
+    """Load a prior PCD into the surf map (reference initializationParam,
+    laserMapping.cpp:163-171), thinning on the host first if requested."""
+    from superodom_tpu.io.pcd import read_pcd
+    from superodom_tpu import native
+
+    xyz = read_pcd(path)
+    if thin_res > 0:
+        xyz = native.voxel_downsample(xyz, thin_res)
+    return insert_prior_points(cfg, state, xyz)

@@ -23,6 +23,7 @@ from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
+from superodom_tpu.config import LocalizationConfig
 from superodom_tpu.io.datasets import SimImu, SimScan
 
 # ---------------------------------------------------------------------------
@@ -353,6 +354,25 @@ class PatchWorld:
         return pts[idx]
 
 
+def sample_world_points(world: "PatchWorld", rng, spacing: float = 0.15,
+                        noise: float = 0.01) -> np.ndarray:
+    """Dense area-uniform sampling of every patch at ~``spacing`` m point
+    pitch — the synthetic stand-in for a prior-map PCD (the reference's
+    localization mode loads one from disk, laserMapping.cpp:163-171).
+    ``noise`` jitters the samples at sensor level: real prior maps come from
+    real scans, and a mathematically exact plane sampling trips the
+    reference's own PCA validity gate (eigenvalues(0) < 1e-6 -> BAD_PCA,
+    LidarSlam.cpp:772)."""
+    out = []
+    for p in world.patches:
+        n = max(int(np.ceil(p.area / (spacing * spacing))), 1)
+        out.append(p.sample(rng, n))
+    pts = np.concatenate(out)
+    if noise > 0.0:
+        pts = pts + rng.normal(0.0, noise, pts.shape)
+    return pts.astype(np.float32)
+
+
 def box_world(half_extent=(20.0, 15.0, 4.0), center=(0.0, 0.0, 0.0),
               max_range=60.0) -> PatchWorld:
     """Closed box room (six rectangles)."""
@@ -471,6 +491,37 @@ def open_field_world(half_extent=(90.0, 70.0, 10.0), ground_z=-2.0,
                               np.array(ex, np.float64),
                               np.array(ey, np.float64)))
     return PatchWorld(rects, max_range)
+
+
+def avenue_world(length: float, width: float = 16.0, height: float = 5.0,
+                 pillar_every: float = 8.0, baffle_every: float = 10.0,
+                 max_range: float = 60.0) -> PatchWorld:
+    """Long avenue along +x: side walls + floor/ceiling PLUS pillars and
+    transverse baffle walls (alcoves, normal along x) alternating sides, so
+    x stays observable over arbitrarily long travel — the geometry of a
+    built corridor with door bays rather than a featureless tube.  Used for
+    the long-range runs that push the map through the packed-coordinate
+    wrap period (mapstate._COORD_PERIOD)."""
+    w = corridor_world(length + 10.0, width, height, x0=-5.0,
+                       max_range=max_range)
+    rects = list(w.patches)
+    depth = 0.35 * width
+    x, side = baffle_every, 1.0
+    while x < length:
+        y0 = side * (width / 2)
+        rects.append(Rect(np.array([x, y0, 0.0]),
+                          np.array([0.0, -side * depth, 0.0]),
+                          np.array([0.0, 0.0, height])))
+        side = -side
+        x += baffle_every
+    world = PatchWorld(rects, max_range)
+    positions = []
+    x, side = pillar_every, 1.0
+    while x < length:
+        positions.append((x + pillar_every / 2, side * (width / 2 - 1.5)))
+        side = -side
+        x += pillar_every
+    return add_pillars(world, positions, z0=0.0, h=min(height - 0.5, 3.5))
 
 
 # ---------------------------------------------------------------------------
@@ -664,6 +715,11 @@ class StressCase(NamedTuple):
     cfg_overrides: dict
     settle: int = 15  # frames excluded from the ATE (map warm-up / startup)
     check: Optional[Callable] = None  # check(res: RunResult, ds, settle)
+    # localization-mode cases: dense world sampling loaded into the surf map
+    # before the run (the reference's prior-PCD load, laserMapping.cpp:163)
+    prior_points: Optional[Callable] = None  # (rng) -> f32[N,3]
+    # runs after `check` with the live runner (map-state assertions)
+    post_check: Optional[Callable] = None  # (runner, res, ds, settle)
 
 
 def _check_degeneracy_transition(res, ds, settle):
@@ -698,6 +754,85 @@ def _check_far_mode(res, ds, settle):
     assert np.mean(far) > 0.8, f"far-mode fraction={np.mean(far)}"
 
 
+def _check_vio_engaged(res, ds, settle):
+    """The external-pose path actually carried frames: the VIO prediction
+    source (PRED_VIO_ODOM=2) engaged during the degenerate corridor segment
+    (reference determinePredictionSource under degeneracy + VIO,
+    laserMapping.cpp:384-412)."""
+    n = len(res.stats)
+    src = [s["pred_source"] for s in res.stats[settle:max(n // 2, settle + 1)]]
+    assert any(s == 2 for s in src), "VIO prediction source never engaged"
+
+
+def _check_superloc_transition(res, ds, settle):
+    """Localization + VIO in a degenerate corridor (the SuperLoc headline
+    mode): the corridor flags degenerate, the room clears it, and — unlike
+    the unaided corridor case — the VIO absolute-pose prior keeps the FULL
+    pose near truth throughout (no x stall)."""
+    stats = res.stats
+    n = len(stats)
+    corridor = [s["degenerate"] for s in stats[settle:n // 3]]
+    room = [s["degenerate"] for s in stats[-n // 6:]]
+    assert np.mean(corridor) > 0.5, f"corridor deg={np.mean(corridor)}"
+    assert np.mean(room) < 0.3, f"room deg={np.mean(room)}"
+
+
+def _check_map_frozen(runner, res, ds, settle):
+    """Localization with update_map=False must not grow the prior map
+    (reference laserMapping.cpp:129-177 + LidarSlam.cpp update gating)."""
+    from superodom_tpu.mapstate import total_points
+
+    now = int(total_points(runner.state.surf_map))
+    before = getattr(runner, "prior_map_total", None)
+    assert before is not None, "harness did not prime the prior map"
+    assert now == before, f"map grew in localization mode: {before} -> {now}"
+
+
+def _check_wrap_safety(runner, res, ds, settle):
+    """Long-range wrap correctness: after driving through >= half the
+    packed-coordinate period (mapstate._COORD_PERIOD cells), the live map
+    must be bounded and every live cell must sit within the evict radius of
+    the final pose under wrapped nearest-representative coordinates — a
+    wrap bug would leave aliased stale cells at bogus distances (the
+    reference's analogue is shiftMap recentering, LocalMap.h:169-287)."""
+    m = runner.state.surf_map
+    keys = np.asarray(m.keys)
+    live = keys != -1
+    frac = float(live.mean())
+    assert frac < 0.9, f"map table saturated: {frac:.2f} live"
+    period = 1 << 10  # mapstate._COORD_BITS
+    packed = keys[live].astype(np.int64)
+
+    def ext(v):
+        v = v & (period - 1)
+        return np.where(v >= period // 2, v - period, v)
+
+    coords = np.stack([ext(packed), ext(packed >> 10), ext(packed >> 20)],
+                      axis=-1)
+    cell = runner.cfg.map.cell_size
+    center = np.floor(np.asarray(res.poses_t[-1]) / cell).astype(np.int64)
+    d = (coords - center[None, :]) & (period - 1)
+    d = np.where(d >= period // 2, d - period, d)
+    dist = np.linalg.norm(d * cell, axis=-1)
+    limit = runner.cfg.map.evict_radius + 4.0 * cell
+    assert dist.max() <= limit, (
+        f"stale/aliased cells at {dist.max():.0f} m (> {limit:.0f})"
+    )
+
+
+def prime_prior_map(runner, case: "StressCase", rng) -> None:
+    """Harness helper: load a case's prior map into a fresh runner and stash
+    the stored-point count for the frozen-map post check."""
+    if case.prior_points is None:
+        return
+    from superodom_tpu.checkpoint import insert_prior_points
+    from superodom_tpu.mapstate import total_points
+
+    xyz = case.prior_points(rng)
+    runner.state = insert_prior_points(runner.cfg, runner.state, xyz)
+    runner.prior_map_total = int(total_points(runner.state.surf_map))
+
+
 def stress_battery(
     points_per_scan: int = 4096,
     scale: float = 1.0,
@@ -729,7 +864,12 @@ def stress_battery(
         return make_scenario(rng, traj, world, n_scans=n(95),
                              points_per_scan=pps)
 
-    def corridor_room(rng):
+    def _corridor_world():
+        return corridor_to_room_world(corridor_len=50.0, width=4.0,
+                                      height=3.0, room_half=(12.0, 9.0, 2.5),
+                                      max_range=35.0)
+
+    def _corridor_ds(rng, vio=False):
         # the corridor must be LONG relative to visibility so the room
         # cannot constrain x from deep inside it: 50 m corridor, 35 m
         # sensing range -> degenerate until the room wall is near.  The
@@ -746,10 +886,31 @@ def stress_battery(
             return np.stack([z, z, z], axis=-1)
 
         traj = traj_from_curves(n(170) * 0.1 + 1.0, pos, rpy)
-        world = corridor_to_room_world(corridor_len=50.0, width=4.0,
-                                       height=3.0, room_half=(12.0, 9.0, 2.5),
-                                       max_range=35.0)
-        return make_scenario(rng, traj, world, n_scans=n(170),
+        return make_scenario(rng, traj, _corridor_world(), n_scans=n(170),
+                             points_per_scan=pps, vio=vio,
+                             vio_pos_noise=0.02)
+
+    def corridor_room(rng):
+        return _corridor_ds(rng)
+
+    def vio_corridor(rng):
+        # SLAM mode through the same degenerate corridor, but an external
+        # odometry stream covers the run: the VIO prediction source + the
+        # absolute-pose prior under degeneracy (LidarSlam.cpp:281-298) must
+        # hold the unobservable axis near truth instead of stalling
+        return _corridor_ds(rng, vio=True)
+
+    def superloc_corridor(rng):
+        # the SuperLoc headline mode: localization against a TRUE-geometry
+        # prior map (update_map=False) through the degenerate corridor with
+        # VIO aiding (laserMapping.cpp:129-177 + LidarSlam.cpp:281-298)
+        return _corridor_ds(rng, vio=True)
+
+    def localization_room(rng):
+        # prior-map localization with a deliberate init-pose offset: the
+        # estimator must snap back onto the map and track without growing it
+        traj = straight_traj(duration=n(50) * 0.1 + 1.0, speed=2.0)
+        return make_scenario(rng, traj, straight_room(), n_scans=n(50),
                              points_per_scan=pps)
 
     def imu_dropout(rng):
@@ -807,6 +968,11 @@ def stress_battery(
         return make_scenario(rng, traj, world, n_scans=n(50),
                              points_per_scan=pps)
 
+    loc_frozen = LocalizationConfig(enabled=True, update_map=False)
+    loc_offset = LocalizationConfig(
+        enabled=True, update_map=False,
+        init_pose_xyz=(0.0, 0.3, 0.0), init_pose_rpy=(0.0, 0.0, 0.05),
+    )
     cases = [
         StressCase("aggressive_6dof", aggressive, 0.30, {}),
         StressCase("stop_and_go", stop_go, 0.30, {}),
@@ -814,6 +980,20 @@ def stress_battery(
         # speed while unobservable); the real assertions live in the check
         StressCase("corridor_to_room", corridor_room, 40.0, {},
                    check=_check_degeneracy_transition),
+        StressCase("vio_corridor", vio_corridor, 0.60,
+                   {"use_vio_undistortion": True},
+                   check=_check_vio_engaged),
+        StressCase("superloc_corridor", superloc_corridor, 0.60,
+                   {"use_vio_undistortion": True, "localization": loc_frozen},
+                   check=_check_superloc_transition,
+                   prior_points=lambda rng: sample_world_points(
+                       _corridor_world(), rng, spacing=0.2),
+                   post_check=_check_map_frozen),
+        StressCase("localization_room", localization_room, 0.25,
+                   {"localization": loc_offset},
+                   prior_points=lambda rng: sample_world_points(
+                       straight_room(), rng, spacing=0.2),
+                   post_check=_check_map_frozen),
         StressCase("imu_dropout", imu_dropout, 0.50, {}),
         StressCase("scan_dropout", scan_dropout, 0.30, {}),
         StressCase("outliers_clusters", outliers, 0.30, {}),
@@ -832,5 +1012,19 @@ def stress_battery(
             return make_scenario(rng, traj, world, n_scans=2000,
                                  points_per_scan=pps)
 
+        def long_range(rng):
+            # straight-line travel through >= half the 1024-cell
+            # packed-coordinate wrap period (1100 m at cell_size 2.0):
+            # proves wrap safety + eviction under real sustained travel
+            traj = straight_traj(duration=116.0, speed=10.0)
+            world = avenue_world(length=1200.0, max_range=60.0)
+            return make_scenario(rng, traj, world, n_scans=1150,
+                                 points_per_scan=pps)
+
         cases.append(StressCase("endurance_2000", endurance, 0.50, {}))
+        cases.append(StressCase(
+            "long_range_1km", long_range, 15.0,
+            # 10 m/s sustained: the LIO source must carry the prediction
+            {"enable_lio_prediction": True},
+            post_check=_check_wrap_safety))
     return cases

@@ -52,6 +52,7 @@ def test_stress_case(name, rng):
     case = BATTERY[name]
     ds = case.build(rng)
     runner = OdometryRunner(_cfg(case.cfg_overrides))
+    sc.prime_prior_map(runner, case, rng)
     res = runner.run_dataset(ds, use_imu=True)
 
     assert np.all(np.isfinite(res.poses_t)), f"{name}: non-finite poses"
@@ -60,6 +61,8 @@ def test_stress_case(name, rng):
     assert ate < case.ate_bound, f"{name}: ATE {ate:.3f} > {case.ate_bound}"
     if case.check is not None:
         case.check(res, ds, s)
+    if case.post_check is not None:
+        case.post_check(runner, res, ds, s)
 
 
 def test_imu_dropout_actually_drops(rng):

@@ -94,6 +94,8 @@ def main():
         for cfg_name, cfg in configs:
             cfg_c = dataclasses.replace(cfg, **case.cfg_overrides)
             runner = OdometryRunner(cfg_c)
+            sc.prime_prior_map(runner, case,
+                               np.random.default_rng(args.seed + 1))
             t0 = time.perf_counter()
             res = runner.run_dataset(ds, use_imu=True)
             wall = time.perf_counter() - t0
@@ -102,9 +104,12 @@ def main():
             ate = (ate_rmse(res.poses_t[s:], np.asarray(ds.gt_poses_t)[s:])
                    if finite else float("inf"))
             check_ok = True
-            if case.check is not None:
+            for chk, chk_args in ((case.check, (res, ds, s)),
+                                  (case.post_check, (runner, res, ds, s))):
+                if chk is None:
+                    continue
                 try:
-                    case.check(res, ds, s)
+                    chk(*chk_args)
                 except AssertionError as e:
                     check_ok = False
                     print(f"  check failed: {e}", file=sys.stderr)
