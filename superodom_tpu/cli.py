@@ -125,7 +125,8 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     if args.chunked:
-        res = runner.run_dataset_chunked(ds, use_imu=not args.no_imu)
+        res = runner.run_dataset_chunked(ds, use_imu=not args.no_imu,
+                                         high_rate=args.high_rate)
     else:
         res = runner.run_dataset(ds, use_imu=not args.no_imu,
                                  log_path=os.path.join(args.out, "stats.jsonl"),

@@ -47,6 +47,7 @@ from superodom_tpu.geometry import (
 from superodom_tpu.inertial import (
     SmootherState,
     preintegrate,
+    propagate_high_rate,
     propagate_state,
     smoother_init,
     smoother_update,
@@ -723,8 +724,21 @@ def make_step_fn(cfg: PipelineConfig):
     return jax.jit(_step)
 
 
+class HighRateOut(NamedTuple):
+    """Per-scan IMU-rate odometry block emitted by the chunked replay
+    (reference ~200 Hz state_estimation stream published every 4th sample
+    => ~50 Hz, imuPreintegration.cpp:629,648-650).  Width = the scan's
+    static IMU window; ``mask`` marks live samples."""
+
+    t: jnp.ndarray  # f32[m] sample times
+    q: jnp.ndarray  # f32[m,4]
+    p: jnp.ndarray  # f32[m,3]
+    v: jnp.ndarray  # f32[m,3]
+    mask: jnp.ndarray  # bool[m]
+
+
 @functools.lru_cache(maxsize=32)
-def make_chunked_step_fn(cfg: PipelineConfig):
+def make_chunked_step_fn(cfg: PipelineConfig, high_rate: bool = False):
     """jit-compiled replay of a CHUNK of scans via lax.scan.
 
     One device dispatch processes many scans back to back — this amortizes
@@ -732,14 +746,26 @@ def make_chunked_step_fn(cfg: PipelineConfig):
     stepping on remote-attached accelerators.  Inputs are Scan/ImuWindow
     pytrees with a leading chunk dimension (plus stacked VioWindows when
     ``cfg.use_vio_undistortion``); returns (final state, stacked
-    StepOutputs)."""
+    StepOutputs).
+
+    ``high_rate=True`` additionally integrates each scan's IMU window
+    forward from the post-update smoothed state INSIDE the scan body and
+    stacks the result — the IMU-rate odometry stream and the replay
+    throughput then come from the same device program (the reference
+    publishes both concurrently, imuPreintegration.cpp:629,648-650).
+    Returns (final state, (stacked StepOutputs, stacked HighRateOut))."""
+
+    def _hr(st2, imu):
+        poses, vels, mask = propagate_high_rate(st2.smoother, cfg.imu, imu)
+        return HighRateOut(t=imu.t, q=poses.q, p=poses.t, v=vels,
+                           mask=mask & ~st2.smoother.failed)
 
     if cfg.use_vio_undistortion:
         def _chunk(state, scans, imus, avails, vios):
             def body(st, inp):
                 scan, imu, avail, vio = inp
                 st, out = step(cfg, st, scan, imu, avail, vio)
-                return st, out
+                return st, (out, _hr(st, imu)) if high_rate else out
 
             return jax.lax.scan(body, state, (scans, imus, avails, vios))
     else:
@@ -747,7 +773,7 @@ def make_chunked_step_fn(cfg: PipelineConfig):
             def body(st, inp):
                 scan, imu, avail = inp
                 st, out = step(cfg, st, scan, imu, avail)
-                return st, out
+                return st, (out, _hr(st, imu)) if high_rate else out
 
             return jax.lax.scan(body, state, (scans, imus, avails))
 

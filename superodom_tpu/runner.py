@@ -487,7 +487,8 @@ class OdometryRunner:
 
     def run_dataset_chunked(self, dataset, use_imu: bool = True,
                             chunk: int = 16, preload: bool = True,
-                            time_chunks: bool = False) -> RunResult:
+                            time_chunks: bool = False,
+                            high_rate: bool = False) -> RunResult:
         """Replay with lax.scan-batched dispatch: `chunk` scans per device
         call.  Requires the dataset offline (all IMU available up front) —
         the high-throughput replay mode (BASELINE.md north star).
@@ -501,9 +502,20 @@ class OdometryRunner:
         with its own chunk's wall time / ``chunk`` — at chunk sizes 8-16
         this yields real latency percentiles (the reference stamps each
         frame, laserMapping.cpp:581-596); the default stamps the whole-run
-        mean (async dispatch, maximum throughput)."""
-        if self._chunk_fn is None:
-            self._chunk_fn = make_chunked_step_fn(self.step_cfg)
+        mean (async dispatch, maximum throughput).
+
+        ``high_rate=True`` additionally streams the IMU-rate odometry
+        (~50 Hz after decimation) computed INSIDE the same device program
+        as the throughput loop — each scan body integrates its IMU window
+        forward from the post-update smoothed state (the reference
+        publishes the 50 Hz stream and the registration concurrently,
+        imuPreintegration.cpp:629,648-650)."""
+        if high_rate:
+            chunk_fn = make_chunked_step_fn(self.step_cfg, high_rate=True)
+        else:
+            if self._chunk_fn is None:
+                self._chunk_fn = make_chunked_step_fn(self.step_cfg)
+            chunk_fn = self._chunk_fn
 
         # ingest all IMU + VIO first (offline replay)
         imu = dataset.imu
@@ -563,7 +575,7 @@ class OdometryRunner:
         first = (tuple(index(t, 0) for t in dev_inputs) if preload
                  else jax.device_put(
                      tuple(index(t, 0) for t in host_inputs)))
-        _ = self._chunk_fn(self.state, *first)
+        _ = chunk_fn(self.state, *first)
         jax.block_until_ready(_[0])
 
         t_begin = time.perf_counter()
@@ -578,7 +590,7 @@ class OdometryRunner:
             else:
                 inp = next_inp
             t_chunk0 = time.perf_counter()
-            self.state, outs = self._chunk_fn(self.state, *inp)
+            self.state, outs = chunk_fn(self.state, *inp)
             if not preload and c + 1 < n_chunks:
                 # double-buffered streaming: the dispatch above is async, so
                 # issuing chunk c+1's upload NOW overlaps the host->device
@@ -597,6 +609,33 @@ class OdometryRunner:
         # stats readback below is reporting, not estimation
         mean_scan_ms = wall / max(n_chunks * chunk, 1) * 1000.0
         host = jax.device_get(pending)
+        hr_t, hr_q, hr_p, hr_v = [], [], [], []
+        hr_last_t = -np.inf
+        if high_rate:
+            # split (StepOutput, HighRateOut) and host-decimate the stream
+            # (every high_rate_decimation-th live sample; windows overlap at
+            # scan boundaries, deduped by timestamp — same semantics as the
+            # per-scan path in run_dataset)
+            dec = self.cfg.imu.high_rate_decimation
+            scan_i = 0
+            for outs, hr in host:
+                for k in range(hr.t.shape[0]):  # scans within the chunk
+                    qs = hr.q[k]
+                    if self.cfg.use_imu_roll_pitch:
+                        # publish the IMU's own orientation chain (reference
+                        # prepareOdometryMessage, imuPreintegration.cpp:713)
+                        qs = np.asarray(built[scan_i][1].q)
+                    live = np.flatnonzero(hr.mask[k])[::dec]
+                    for j in live:
+                        if hr.t[k, j] <= hr_last_t:
+                            continue
+                        hr_last_t = float(hr.t[k, j])
+                        hr_t.append(hr.t[k, j])
+                        hr_q.append(qs[j])
+                        hr_p.append(hr.p[k, j])
+                        hr_v.append(hr.v[k, j])
+                    scan_i += 1
+            host = [outs for outs, _hr in host]
         for c, outs in enumerate(host):
             poses_q.append(outs.pose.q)
             poses_t.append(outs.pose.t)
@@ -617,6 +656,18 @@ class OdometryRunner:
             smoothed_t.append(out.smoothed_pose.t[None])
             stats.append(self._stats_record(out, len(stats),
                                             time_ms=scan_ms))
+            if high_rate:
+                self._last_window = b[1]
+                ts, qs, ps, vs = self.high_rate_states()
+                dec = self.cfg.imu.high_rate_decimation
+                for k in range(0, len(ts), dec):
+                    if ts[k] <= hr_last_t:
+                        continue
+                    hr_last_t = float(ts[k])
+                    hr_t.append(ts[k])
+                    hr_q.append(qs[k])
+                    hr_p.append(ps[k])
+                    hr_v.append(vs[k])
         return RunResult(
             poses_q=np.concatenate(poses_q),
             poses_t=np.concatenate(poses_t),
@@ -624,4 +675,8 @@ class OdometryRunner:
             stats=stats,
             wall_time_s=wall,
             scans_per_sec=n / wall,
+            high_rate_t=np.asarray(hr_t) if high_rate else None,
+            high_rate_q=np.asarray(hr_q) if high_rate else None,
+            high_rate_p=np.asarray(hr_p) if high_rate else None,
+            high_rate_v=np.asarray(hr_v) if high_rate else None,
         )

@@ -21,9 +21,18 @@ import argparse
 import ast
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# make `python tools/profile.py` work from any cwd without an install: the
+# repo root (which holds both bench.py and superodom_tpu/) goes first on the
+# path BEFORE the bench/superodom_tpu imports inside the run functions
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def _timeit(fn, *args, reps=1):
@@ -220,7 +229,7 @@ def run_stages(args):
 
     def g_gather(p):
         cand, cval = gather_candidates(state.surf_map, cfg.map, p)
-        return p + cand[0, 0] * 1e-20
+        return p + cand[0, 0, 0] * 1e-20
 
     f, init = rep(g_gather, pose.apply(surf_pts))
     results["icp/gather_candidates"] = _timeit(f, init, reps=reps)
