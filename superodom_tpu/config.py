@@ -171,6 +171,16 @@ class RegistrationConfig:
     trans_converge_tol: float = 1e-3  # declares ICP converged (m)
     rot_converge_tol: float = 1e-3  # declares ICP converged (rad)
     icp_early_exit: bool = True  # while_loop break vs fixed masked scan
+    # ICP candidate-refresh width (0 = off).  When W > 0, ICP round 1 runs
+    # the full-width KNN re-select over all gathered candidates (8 *
+    # cell_capacity lanes per feature) as usual, then the top-W candidates
+    # at the once-corrected round-1 pose are materialized ONCE and rounds
+    # 2..max_icp_iters re-select their K neighbors from those W lanes —
+    # ~W/(8*C) of the per-round selection cost.  Sound while the pose moves
+    # less between rounds than the W-th candidate radius margin (after one
+    # GN round corrections are typically sub-centimeter); the stress
+    # battery qualifies the approximation (see PARITY.md).
+    refresh_width: int = 0
     # Degenerate-environment handling (SuperLoc alignment risk): EITHER
     # block's inverse condition number under its threshold flags the frame
     # (reference EstimateRegistrationError covers both blocks,
@@ -204,6 +214,10 @@ class RegistrationConfig:
         if self.max_icp_iters < 1:
             raise ValueError(
                 f"max_icp_iters must be >= 1, got {self.max_icp_iters}")
+        if self.refresh_width != 0 and self.refresh_width < self.plane_knn:
+            raise ValueError(
+                f"refresh_width ({self.refresh_width}) must be 0 or >= "
+                f"plane_knn ({self.plane_knn})")
 
 
 @dataclasses.dataclass(frozen=True)

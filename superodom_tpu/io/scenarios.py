@@ -747,6 +747,14 @@ def _check_degeneracy_transition(res, ds, settle):
     assert drift_room < 0.05, f"room x drift/scan {drift_room}"
 
 
+def _check_return_to_origin(res, ds, settle):
+    """The reference benchmark's pass/fail: end-vs-start distance < 0.1 m on
+    a loop whose ground truth closes exactly
+    (script/save_benchmark_result.py:263-267)."""
+    d = float(np.linalg.norm(res.poses_t[-1] - res.poses_t[0]))
+    assert d < 0.10, f"return-to-origin {d:.3f} m >= 0.10"
+
+
 def _check_far_mode(res, ds, settle):
     """Scene-scale statistic actually selects far mode (avg distance > 65,
     laserMapping.cpp:600-651) for the bulk of the run."""
@@ -968,6 +976,45 @@ def stress_battery(
         return make_scenario(rng, traj, world, n_scans=n(50),
                              points_per_scan=pps)
 
+    def closed_loop(rng):
+        # one smooth lap ending exactly at the start pose: the reference
+        # benchmark's signature pass/fail is end-vs-start distance < 0.1 m
+        # (reference script/save_benchmark_result.py:263-267); the phase
+        # profile is a smoothstep, so the platform leaves and re-enters
+        # rest with zero velocity.  The lap must COMPLETE inside the scanned
+        # window: scans cover [0, n*0.1] wall time, of which the first 1.5 s
+        # are the static-init rest and curve time lags wall time through the
+        # soft-start warp tau = tc^2/(tc+0.5) (traj_from_curves) — so the
+        # lap length is sized to ~70% of the warped time the scans reach.
+        n_sc = n(160)
+        tc_last = n_sc * 0.1 - 1.5
+        tau_last = tc_last * tc_last / (tc_last + 0.5)
+        lap = max(0.8 * tau_last, 3.0)
+        r = min(5.0, 0.4 * lap)  # caps peak speed at ~3.8 m/s at any scale
+
+        def _phi(t):
+            u = np.clip(t / lap, 0.0, 1.0)
+            return 2.0 * np.pi * (u * u * (3.0 - 2.0 * u))
+
+        def pos(t):
+            phi = _phi(t)
+            return np.stack(
+                [r * np.cos(phi) - r, r * np.sin(phi), np.zeros_like(phi)],
+                axis=-1)
+
+        def rpy(t):
+            phi = _phi(t)
+            z = np.zeros_like(phi)
+            return np.stack([z, z, phi], axis=-1)  # heading follows the lap
+
+        traj = traj_from_curves(n_sc * 0.1, pos, rpy)
+        # pillars OFF the lap path (circle of radius r centered at (-r, 0))
+        world = add_pillars(box_world((18.0, 15.0, 4.0)),
+                            [(-r, 0.0), (4.0, 7.0), (-2.0 * r - 4.0, -7.0)],
+                            z0=-3.0)
+        return make_scenario(rng, traj, world, n_scans=n_sc,
+                             points_per_scan=pps)
+
     loc_frozen = LocalizationConfig(enabled=True, update_map=False)
     loc_offset = LocalizationConfig(
         enabled=True, update_map=False,
@@ -998,6 +1045,8 @@ def stress_battery(
         StressCase("scan_dropout", scan_dropout, 0.30, {}),
         StressCase("outliers_clusters", outliers, 0.30, {}),
         StressCase("range_noise", range_noise, 0.40, {}),
+        StressCase("closed_loop", closed_loop, 0.30, {},
+                   check=_check_return_to_origin),
         StressCase("far_field", far_field, 2.0,
                    {"auto_voxel_size": True, "enable_lio_prediction": True},
                    check=_check_far_mode),

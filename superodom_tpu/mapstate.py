@@ -423,6 +423,65 @@ def select_knn(cand: jnp.ndarray, cvalid: jnp.ndarray, queries: jnp.ndarray, k: 
     return pts, sq, valid
 
 
+class ReducedCandidates(NamedTuple):
+    """Distance-ordered top-W candidate subset, materialized planar
+    ([Q, W] per coordinate — no size-3 minor axis).  Produced once per scan
+    by :func:`reduce_candidates`; ICP refresh rounds re-select their K
+    neighbors from these W lanes instead of the full 8*C gathered set."""
+
+    x: jnp.ndarray  # f32[Q, W]
+    y: jnp.ndarray  # f32[Q, W]
+    z: jnp.ndarray  # f32[Q, W]
+    valid: jnp.ndarray  # bool[Q, W]
+
+
+def reduce_candidates(
+    cand: jnp.ndarray, cvalid: jnp.ndarray, queries: jnp.ndarray, w: int
+) -> ReducedCandidates:
+    """The W nearest gathered candidates per query, as planar arrays.
+
+    One full-width distance pass + top_k + one-hot MXU contraction — the
+    same cost as a single full KNN selection (with k=W).  Subsequent
+    selections from the reduced set cost 8*C/W times less; valid while the
+    query pose moves less than the margin the W-th candidate's radius
+    provides over the acceptance gates (see RegistrationConfig.refresh_width).
+    """
+    cx, cy, cz = cand_planes(cand)
+    d2 = (
+        (cx - queries[:, 0:1]) ** 2
+        + (cy - queries[:, 1:2]) ** 2
+        + (cz - queries[:, 2:3]) ** 2
+    )
+    d2 = jnp.where(cvalid, d2, _BIG)
+    neg, idx = jax.lax.top_k(-d2, w)
+    lanes = jnp.arange(d2.shape[1], dtype=idx.dtype)
+    onehot = (idx[:, :, None] == lanes[None, None, :]).astype(cand.dtype)
+    rx = jnp.einsum("qwc,qc->qw", onehot, cx)
+    ry = jnp.einsum("qwc,qc->qw", onehot, cy)
+    rz = jnp.einsum("qwc,qc->qw", onehot, cz)
+    # sentinel lanes square to inf in d2, so the -neg test stays safe even
+    # when top_k had to take them (fewer than W live candidates)
+    return ReducedCandidates(x=rx, y=ry, z=rz, valid=-neg < _BIG * 0.5)
+
+
+def select_knn_reduced(red: ReducedCandidates, queries: jnp.ndarray, k: int):
+    """Top-k selection from a reduced candidate set ([Q,W] planes).  Same
+    contract as :func:`select_knn`; ~8*C/W times cheaper per call."""
+    d2 = (
+        (red.x - queries[:, 0:1]) ** 2
+        + (red.y - queries[:, 1:2]) ** 2
+        + (red.z - queries[:, 2:3]) ** 2
+    )
+    d2 = jnp.where(red.valid, d2, _BIG)
+    neg, idx = jax.lax.top_k(-d2, k)
+    sq = -neg
+    lanes = jnp.arange(d2.shape[1], dtype=idx.dtype)
+    onehot = (idx[:, :, None] == lanes[None, None, :]).astype(red.x.dtype)
+    stacked = jnp.stack([red.x, red.y, red.z], axis=-1)  # [Q, W, 3]
+    pts = jnp.einsum("qkw,qwp->qkp", onehot, stacked)
+    return pts, sq, sq < _BIG * 0.5
+
+
 def _wrapped_cell_delta(keys: jnp.ndarray, center_cell: jnp.ndarray) -> jnp.ndarray:
     """Cell-coordinate delta to the center, modulo the pack period (nearest
     representative)."""

@@ -39,9 +39,12 @@ from superodom_tpu.geometry import (
     skew,
 )
 from superodom_tpu.mapstate import (
+    ReducedCandidates,
     VoxelHashMap,
     gather_candidates,
+    reduce_candidates,
     select_knn,
+    select_knn_reduced,
 )
 from superodom_tpu.ops.eigh3 import eigh3
 from superodom_tpu.ops.smallsolve import inv6_spd, solve6_spd
@@ -183,11 +186,44 @@ def plane_correspondences_from_candidates(
     ICP loop gathers once at the predicted pose and re-selects per iteration
     — valid while per-iteration pose corrections stay within the octant
     support margin (cell_size/2 >> typical ICP corrections)."""
+    w_pt = pose.apply(p_body)  # pFinal
+    neigh, sq, nvalid = _select(cand, cvalid, w_pt, reg.plane_knn, reg)
+    return _plane_fit(neigh, sq, nvalid, reg, pose, p_body, mask, plane_res,
+                      w_pt)
+
+
+def plane_correspondences_from_reduced(
+    red: ReducedCandidates,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    plane_res,
+) -> PlaneCorrs:
+    """Plane correspondences selected from a once-materialized top-W
+    candidate subset (the ICP refresh rounds; see
+    RegistrationConfig.refresh_width)."""
+    w_pt = pose.apply(p_body)
+    neigh, sq, nvalid = select_knn_reduced(red, w_pt, reg.plane_knn)
+    return _plane_fit(neigh, sq, nvalid, reg, pose, p_body, mask, plane_res,
+                      w_pt)
+
+
+def _plane_fit(
+    neigh: jnp.ndarray,
+    sq: jnp.ndarray,
+    nvalid: jnp.ndarray,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    plane_res,
+    w_pt: jnp.ndarray,
+) -> PlaneCorrs:
+    """PCA plane fit + gates over selected KNN neighborhoods (the fitting
+    half of ComputePlaneDistanceParameters, LidarSlam.cpp:514-572)."""
     k = reg.plane_knn
     m = p_body.shape[0]
-    w_pt = pose.apply(p_body)  # pFinal
-
-    neigh, sq, nvalid = _select(cand, cvalid, w_pt, k, reg)
     n_found = jnp.sum(nvalid.astype(jnp.int32), axis=-1)
     enough = n_found >= k
     # reference compares the k-th squared distance against 3*planeRes
@@ -306,11 +342,45 @@ def edge_correspondences_from_candidates(
     mask: jnp.ndarray,
     line_res,
 ) -> EdgeCorrs:
+    w_pt = pose.apply(p_body)
+    neigh, sq, nvalid = _select(cand, cvalid, w_pt, reg.edge_knn, reg)
+    return _edge_fit(neigh, sq, nvalid, reg, pose, p_body, mask, line_res,
+                     w_pt)
+
+
+def edge_correspondences_from_reduced(
+    red: ReducedCandidates,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    line_res,
+) -> EdgeCorrs:
+    """Edge correspondences selected from a once-materialized top-W
+    candidate subset (ICP refresh rounds)."""
+    w_pt = pose.apply(p_body)
+    neigh, sq, nvalid = select_knn_reduced(red, w_pt, reg.edge_knn)
+    return _edge_fit(neigh, sq, nvalid, reg, pose, p_body, mask, line_res,
+                     w_pt)
+
+
+def _edge_fit(
+    neigh: jnp.ndarray,
+    sq: jnp.ndarray,
+    nvalid: jnp.ndarray,
+    reg: RegistrationConfig,
+    pose: Pose,
+    p_body: jnp.ndarray,
+    mask: jnp.ndarray,
+    line_res,
+    w_pt: jnp.ndarray,
+) -> EdgeCorrs:
+    """Line-inlier consensus + PCA line fit + gates over selected KNN
+    neighborhoods (the fitting half of ComputeLineDistanceParameters +
+    nearestKSearchSpecificEdgePoint, LidarSlam.cpp:402-493,
+    LocalMap.h:377-474)."""
     k = reg.edge_knn
     m = p_body.shape[0]
-    w_pt = pose.apply(p_body)
-
-    neigh, sq, nvalid = _select(cand, cvalid, w_pt, k, reg)
 
     # --- line-inlier consensus: best line through the closest point -------
     p1 = neigh[:, 0, :]  # closest neighbor
@@ -599,6 +669,17 @@ def icp_register(
             edge_map, map_cfg, pose0.apply(edge_pts)
         )
 
+    def _dummy_lines():
+        ne = edge_pts.shape[0]
+        return EdgeCorrs(
+            p_body=edge_pts,
+            a=jnp.zeros((ne, 3), dtype),
+            b=jnp.ones((ne, 3), dtype),
+            coeff=jnp.zeros((ne,), dtype),
+            valid=jnp.zeros((ne,), bool),
+            code=jnp.full((ne,), MATCH_UNKNOWN, jnp.int32),
+        )
+
     def correspondences(pose):
         planes = plane_correspondences_from_candidates(
             surf_cand, surf_cvalid, reg, pose, surf_pts, surf_mask, rt.plane_res
@@ -609,18 +690,16 @@ def icp_register(
                 rt.line_res,
             )
         else:
-            ne = edge_pts.shape[0]
-            lines = EdgeCorrs(
-                p_body=edge_pts,
-                a=jnp.zeros((ne, 3), dtype),
-                b=jnp.ones((ne, 3), dtype),
-                coeff=jnp.zeros((ne,), dtype),
-                valid=jnp.zeros((ne,), bool),
-                code=jnp.full((ne,), MATCH_UNKNOWN, jnp.int32),
-            )
+            lines = _dummy_lines()
         return planes, lines
 
-    def outer(carry):
+    def make_outer(corr_fn):
+        def outer(carry):
+            return _icp_round(corr_fn, carry)
+
+        return outer
+
+    def _icp_round(corr_fn, carry):
         # extract-at-body-start: one extraction per iteration, and the LAST
         # extraction (carried out) is what the final H / stats evaluate on —
         # matching the reference, whose covariance comes from the final Ceres
@@ -628,7 +707,7 @@ def icp_register(
         # and evaluated at the solved pose (LidarSlam.cpp:230-240, 854-889)
         pose, converged, it, _prev, stats_arr = carry
         t_norms, r_norms, surf_ns, edge_ns = stats_arr
-        planes, lines = correspondences(pose)
+        planes, lines = corr_fn(pose)
         new_pose, one_step = gauss_newton_solve(
             pose, planes, lines, rt, reg.max_gn_iters, prior,
             use_edges=use_edges,
@@ -694,28 +773,66 @@ def icp_register(
         (init_planes, init_lines), stats0,
     )
 
+    # ROUND 1 is peeled out of the loop and always runs the FULL-width
+    # extraction (the body runs at least once: converged starts False).
+    # Peeling drops the lax.while wrapper's loop-carried layout constraints
+    # for the single-iteration tuned configs, and gives the refresh path a
+    # once-corrected anchor pose for its candidate reduction.
+    carry1 = _icp_round(correspondences, carry0)
     if max_it == 1:
-        # single outer iteration (the tuned replay configs): peel the loop —
-        # the body always runs exactly once (converged starts False), and
-        # dropping the lax.while wrapper removes its loop-carried layout
-        # constraints and pipelining barrier
         pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = (
-            outer(carry0)
-        )
-    elif reg.icp_early_exit:
-        # early-exit ICP: the reference breaks when Ceres converges in one
-        # step (LidarSlam.cpp:141-147); a while_loop realizes the same saving
-        # instead of masked full-length iteration
-        pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = (
-            jax.lax.while_loop(cond, outer, carry0)
+            carry1
         )
     else:
-        # fixed-length scan: every instance runs max_it iterations with the
-        # convergence mask freezing finished ones (better XLA pipelining;
-        # exact same masked-update semantics)
-        carry, _ = jax.lax.scan(
-            lambda c, _: (outer(c), None), carry0, None, length=max_it
-        )
+        if reg.refresh_width > 0:
+            # Cheaper refresh for rounds 2..max_it (the reference re-searches
+            # the octree every outer iteration, LidarSlam.cpp:119-148; here
+            # the per-round re-select is the dominant repeated cost): the
+            # top-W candidates at the ONCE-CORRECTED round-1 pose are
+            # materialized once, and later rounds select their K neighbors
+            # from those W lanes at ~W/(8*C) of the full re-select cost.
+            # After one GN round the residual pose error is typically
+            # millimetric, so the W-lane window covers the later top-K; the
+            # battery (tools/stress_matrix.py) qualifies the approximation.
+            pose1 = carry1[0]
+            red_surf = reduce_candidates(
+                surf_cand, surf_cvalid, pose1.apply(surf_pts),
+                reg.refresh_width,
+            )
+            if use_edges:
+                red_edge = reduce_candidates(
+                    edge_cand, edge_cvalid, pose1.apply(edge_pts),
+                    max(reg.refresh_width, 2 * reg.edge_knn),
+                )
+
+            def corr_refresh(pose):
+                planes = plane_correspondences_from_reduced(
+                    red_surf, reg, pose, surf_pts, surf_mask, rt.plane_res
+                )
+                lines = (
+                    edge_correspondences_from_reduced(
+                        red_edge, reg, pose, edge_pts, edge_mask, rt.line_res
+                    )
+                    if use_edges
+                    else _dummy_lines()
+                )
+                return planes, lines
+
+            outer = make_outer(corr_refresh)
+        else:
+            outer = make_outer(correspondences)
+        if reg.icp_early_exit:
+            # early-exit ICP: the reference breaks when Ceres converges in
+            # one step (LidarSlam.cpp:141-147); a while_loop realizes the
+            # same saving instead of masked full-length iteration
+            carry = jax.lax.while_loop(cond, outer, carry1)
+        else:
+            # fixed-length scan: every instance runs max_it iterations with
+            # the convergence mask freezing finished ones (better XLA
+            # pipelining; exact same masked-update semantics)
+            carry, _ = jax.lax.scan(
+                lambda c, _: (outer(c), None), carry1, None, length=max_it - 1
+            )
         pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = carry
     active = jnp.arange(max_it) < n_it
     # one H evaluation at the final pose (the reference computes covariance

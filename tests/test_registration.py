@@ -111,6 +111,50 @@ def test_icp_recovers_known_offset(rng):
     assert not bool(stats.degenerate)
 
 
+def test_reduced_select_matches_full(rng):
+    """select_knn from a reduce_candidates(top-W) subset must equal the
+    full-width selection at the same query pose whenever W >= k (top-k of
+    top-W == top-k of all)."""
+    world = make_room_cloud(rng, n_per_wall=1500)
+    m = build_surf_map(rng, world)
+    q = jnp.asarray(world[rng.choice(len(world), 128, replace=False)])
+    cand, cvalid = ms.gather_candidates(m, MAP_CFG, q)
+    pts_f, sq_f, val_f = ms.select_knn(cand, cvalid, q, 5)
+    red = ms.reduce_candidates(cand, cvalid, q, 16)
+    pts_r, sq_r, val_r = ms.select_knn_reduced(red, q, 5)
+    np.testing.assert_allclose(np.asarray(sq_r), np.asarray(sq_f), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(val_r), np.asarray(val_f))
+    # same neighbor SETS (order can differ on exact ties): compare sorted
+    f = np.sort(np.asarray(pts_f).reshape(128, -1), axis=1)
+    r = np.sort(np.asarray(pts_r).reshape(128, -1), axis=1)
+    np.testing.assert_allclose(r, f, atol=1e-5)
+
+
+def test_icp_refresh_recovers_known_offset(rng):
+    """ICP with refresh rounds (refresh_width > 0) must recover the same
+    known offset as the full re-select path."""
+    world = make_room_cloud(rng, n_per_wall=1500)
+    m = build_surf_map(rng, world)
+    edge_m = ms.empty_map(MAP_CFG)
+    true_pose = geo.Pose(
+        geo.quat_from_rpy(jnp.float32(0.02), jnp.float32(-0.03), jnp.float32(0.08)),
+        jnp.asarray([0.3, -0.2, 0.1], jnp.float32),
+    )
+    scan_world = world[rng.choice(len(world), 1200, replace=False)]
+    scan_body = np.asarray(true_pose.inverse().apply(jnp.asarray(scan_world)))
+    e_pts, e_mask = _empty_edges()
+    cfg = RegistrationConfig(max_icp_iters=5, refresh_width=16)
+    est, stats = reg.icp_register(
+        edge_m, m, MAP_CFG, cfg, geo.Pose.identity(),
+        e_pts, e_mask, jnp.asarray(scan_body), jnp.ones(len(scan_body), bool),
+        RT)
+    t_err = np.linalg.norm(np.asarray(est.t) - np.asarray(true_pose.t))
+    dq = geo.quat_mul(geo.quat_conj(true_pose.q), est.q)
+    r_err = 2 * np.arctan2(np.linalg.norm(np.asarray(dq)[1:]), abs(float(dq[0])))
+    assert t_err < 0.02, f"translation error {t_err}"
+    assert r_err < 0.01, f"rotation error {r_err}"
+
+
 def test_icp_degenerate_corridor(rng):
     """Two parallel walls only: translation along the corridor (x) is
     unobservable -> uncertainty_x high, degeneracy flagged via condition

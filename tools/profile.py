@@ -68,8 +68,10 @@ def parse_variant(spec: str):
         name, kvs = spec.split(":", 1)
     else:
         name, kvs = spec, ""
-    cfg = bench._config("os1", tuned=(name != "parity"),
-                        parity=(name == "parity"))
+    # any name starting with "parity" uses the reference-envelope base (so
+    # several parity-derived variants can be A/B'd in one run)
+    cfg = bench._config("os1", tuned=not name.startswith("parity"),
+                        parity=name.startswith("parity"))
     ov = {}
     for kv in filter(None, kvs.split(",")):
         k, v = kv.split("=", 1)

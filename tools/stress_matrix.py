@@ -67,14 +67,16 @@ def main():
                          "otherwise routes everything to the TPU relay)")
     args = ap.parse_args()
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/superodom_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # persistent compile cache: the matrix compiles several distinct
+    # config-shaped programs; reruns (requalification after a config A/B)
+    # should not re-pay them
+    jax.config.update("jax_compilation_cache_dir", "/tmp/superodom_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     import numpy as np
 
