@@ -59,7 +59,8 @@ def _config(name, tuned=True, parity=False):
             sensor=dataclasses.replace(sensor, scan_thin_mode="range"),
             map=MapConfig(cell_capacity=16),
             registration=RegistrationConfig(max_icp_iters=5,
-                                            refresh_width=16),
+                                            refresh_width=16,
+                                            tukey_anneal=0.25),
             imu=ImuConfig(smoother_gn_iters=2),
         )
     if tuned and name == "os1":  # only the OS1 replay was A/B-validated
@@ -82,7 +83,12 @@ def _config(name, tuned=True, parity=False):
             cfg,
             sensor=dataclasses.replace(sensor, scan_thin_mode="range"),
             map=MapConfig(cell_capacity=16),
-            registration=RegistrationConfig(max_icp_iters=2),
+            # tukey_anneal: round-2 support shrink rejects self-consistent
+            # moving geometry the wide first-round support must accept
+            # (outliers_clusters, PARITY.md row 26); measured neutral-to-
+            # positive on every static-world battery case
+            registration=RegistrationConfig(max_icp_iters=2,
+                                            tukey_anneal=0.25),
             imu=ImuConfig(smoother_gn_iters=2),
         )
     return cfg

@@ -181,6 +181,21 @@ class RegistrationConfig:
     # GN round corrections are typically sub-centimeter); the stress
     # battery qualifies the approximation (see PARITY.md).
     refresh_width: int = 0
+    # Per-round Tukey support annealing (1.0 = off, the reference's fixed
+    # Tukey(sqrt(3*res)) scale every round, LidarSlam.cpp:263).  With
+    # anneal a < 1, outer round k (0-based) weights residuals with squared
+    # support 3*res * max(a^k, tukey_anneal_floor): round 1 keeps the wide
+    # reference support (capture range for a poor prediction), later
+    # rounds shrink toward the floor so only near-surface residuals vote.
+    # Motivation (measured, full-density battery): the fixed wide support
+    # leaves a 0.2 m moving-cluster residual at ~0.87 weight, and a
+    # 5-round ICP then locks onto the self-consistent moving geometry —
+    # outliers_clusters ATE 1.10 at 5 iters vs 0.05 at 2, ship OR parity,
+    # independent of every other knob.  Annealing is the standard
+    # adaptive-threshold ICP remedy; floor 0.02 keeps ~3 sigma of scan
+    # noise inside the support at nominal resolutions.
+    tukey_anneal: float = 1.0
+    tukey_anneal_floor: float = 0.02
     # Degenerate-environment handling (SuperLoc alignment risk): EITHER
     # block's inverse condition number under its threshold flags the frame
     # (reference EstimateRegistrationError covers both blocks,
@@ -206,6 +221,20 @@ class RegistrationConfig:
     # hold on low ESTIMATED motion is self-confirming — once an axis
     # freezes, estimated motion stays under any gate and the estimate
     # diverges at platform speed (0.19 m/frame, outliers_clusters case).
+    #
+    # What IS shipped instead (round 4): the per-axis MATCH-COUNT hold
+    # below — a body translation axis with fewer than
+    # ``axis_hold_min_matches`` dominant-normal correspondences (the
+    # observability histogram's own votes) has its GN update zeroed for
+    # the round.  Unlike the conditioning metric, a literal absence of
+    # supporting correspondences separates cleanly: the warming-up map
+    # that walked 0.43 m along x AT REST had EXACTLY ZERO x-votes for its
+    # first 5 accepted frames (aggressive_6dof at 16k density) while
+    # every observable-room case keeps hundreds; and the hold is
+    # data-driven, not estimated-motion-driven, so it cannot
+    # self-confirm.  Released when the VIO absolute-pose prior is active
+    # (the prior legitimately moves weakly-observed axes).  0 disables.
+    axis_hold_min_matches: int = 10
     visual_confidence_factor: float = 1.0
 
     def __post_init__(self):
@@ -329,6 +358,25 @@ class PipelineConfig:
     # the slim reference — statuses hardwired false, laserMapping.cpp:680;
     # realized here because it predicts through acceleration transients)
     enable_lio_prediction: bool = False
+    # Minimum per-axis translation observability share above which the LIO
+    # prediction stays trusted even when the degenerate flag is set
+    # (0.0 = never trust under degeneracy, the reference's
+    # determinePredictionSource order, laserMapping.cpp:384-402).  The
+    # share is the carried `uncertainty[:3]` (observability fractions,
+    # LOW = poorly observed, see lidar_uncertainty_from_histogram).
+    # Measured full-density separation (round 4): the 1100 m baffled
+    # avenue flags degenerate by condition number yet keeps a real x
+    # feature share — position-holding prediction there outruns the
+    # correspondence gates at 10 m/s and stalls the estimator permanently
+    # (ATE 613 m vs 0.8 m with LIO kept); the featureless corridor's x
+    # share reads ~0, and keeping LIO there lets smoother-velocity
+    # feedback corrupt even the observable axes (y/z ATE 1.02 m vs 0.05 m
+    # with the veto).  The observability gate separates the two regimes:
+    # measured per-frame x shares are 0.059+ (p10) on the avenue vs
+    # 0.007-0.038 (p10-p50) in the corridor's degenerate phase — 0.05
+    # splits them, and corridor frames that DO exceed it are the
+    # transition where x is genuinely becoming observable.
+    lio_min_observability: float = 0.05
     # 6-DoF VIO-path undistortion: when an external odometry path covers the
     # sweep, undistort features against the interpolated pose path (rotation
     # AND translation) instead of rotation-only IMU — the reference's
@@ -349,6 +397,22 @@ class PipelineConfig:
     # whenever IMU/VIO covers the sweep.  Set False when feeding clouds a
     # driver already de-skewed — double compensation adds error.
     use_cv_undistortion: bool = True
+    # Translation de-skew for IMU-COVERED sweeps: the IMU path removes
+    # rotation only — as does the reference (removePointDistortion<Imu>,
+    # featureExtraction.cpp:292-313) — which leaves the v * scan_period
+    # translation smear in the scan (~0.4 m at 4 m/s).  The smear makes
+    # ICP track the MID-sweep pose (measured: whole-trajectory along-track
+    # error saturates at exactly v*T/2), and a deeply-converged ICP
+    # engraves it into the young map: at full density, aggressive_6dof
+    # ATE 0.42 and closed_loop return-to-origin 0.22 m at 5 ICP iters
+    # without this, vs the reference benchmark's 10 cm gate.  Rotation
+    # comes from the IMU slerp; translation from the SMOOTHER's velocity
+    # in its own body frame (frame-consistent, IMU-filtered).  The
+    # previous-pose-difference twist is deliberately NOT used: it feeds
+    # the last solve's error back into the next scan's de-skew — a
+    # 2-cycle positive feedback that measurably grows an alternating
+    # oscillation near rest (closed_loop endpoint error 0.38 m).
+    use_translation_deskew: bool = True
 
     def default_runtime(self) -> RuntimeParams:
         return RuntimeParams(

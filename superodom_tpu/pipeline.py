@@ -90,6 +90,9 @@ class OdomState(NamedTuple):
     smoother: SmootherState
     degenerate: jnp.ndarray  # bool — from last registration
     uncertainty: jnp.ndarray  # f32[6] per-axis alignment risk of last frame
+    obs_ema: jnp.ndarray  # f32[3] EMA of translation observability shares
+    # (gates LIO trust under degeneracy: single-frame excursions in a
+    # degenerate corridor must not re-arm LIO, see _select_prediction)
     vio_pose: Pose  # external odometry prediction (VIO path)
     vio_available: jnp.ndarray  # bool
     prev_imu: ImuWindow  # previous scan's IMU window — the smoother's
@@ -180,6 +183,7 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdomState:
         smoother=smoother_init(cfg.imu, dtype),
         degenerate=jnp.asarray(False),
         uncertainty=jnp.zeros((6,), dtype),
+        obs_ema=jnp.ones((3,), dtype),
         vio_pose=Pose.identity(dtype),
         vio_available=jnp.asarray(False),
         prev_imu=empty_imu_window(cfg.imu.max_imu_per_scan, dtype),
@@ -255,10 +259,25 @@ def _select_prediction(
     if lio_pose is not None:
         # the reference trusts LIO only when the LAST solve was healthy
         # (determinePredictionSource checks isDegenerate first,
-        # laserMapping.cpp:384-402): under degeneracy the smoother's
-        # velocity is fed by unobservable lidar poses and LIO prediction
-        # closes a positive feedback loop — fall back to the safe sources
-        use_lio = lio_available & imu_available & ~state.degenerate
+        # laserMapping.cpp:384-402): in a truly unobservable corridor the
+        # smoother's velocity is fed by unobservable lidar poses and LIO
+        # prediction closes a feedback loop.  But a scene can flag
+        # degenerate by condition number while every axis keeps a real
+        # feature share (a long baffled avenue) — there, position-holding
+        # at speed outruns the correspondence gates and stalls tracking
+        # permanently.  The observability gate separates the regimes
+        # (see PipelineConfig.lio_min_observability).
+        trusted = ~state.degenerate
+        if cfg.lio_min_observability > 0.0:
+            # the EMA, not the instantaneous share: a degenerate corridor's
+            # single-frame excursions above the threshold must not re-arm
+            # LIO (measured: per-frame gating leaked enough trusted frames
+            # to corrupt y/z by 1.8 m; the avenue's share is stationary so
+            # the EMA preserves its trust)
+            trusted = trusted | (
+                jnp.min(state.obs_ema) > cfg.lio_min_observability
+            )
+        use_lio = lio_available & imu_available & trusted
         normal_pose = jax.tree_util.tree_map(
             lambda a, b: jnp.where(use_lio, a, b), lio_pose, normal_pose
         )
@@ -382,10 +401,17 @@ def step(
     surf_pts = jnp.where(imu_available, surf_u, surf_raw)
     q_imu_pred = jnp.where(imu_available, q_w_orig_l, quat_identity(dtype))
 
+    # only past the startup window: before that the inter-frame twist /
+    # smoother velocity is first-frame/startup garbage and smearing the
+    # scan with it poisons the young map (observed: 3x ATE on
+    # outliers_clusters from de-skewed pre-init frames)
+    settled = state.frame_count > cfg.startup_frames
+
     # constant-velocity de-skew for IMU-less sweeps (KISS-ICP-style; see
     # PipelineConfig.use_cv_undistortion): extrapolate the previous
     # inter-scan twist across this sweep
     use_cv = jnp.asarray(False)
+    use_trans = jnp.asarray(False)
     if cfg.use_cv_undistortion:
         rel = state.pose_prev.inverse().compose(state.pose)
         nominal = sensor.scan_period * max(sensor.skip_frame, 1)
@@ -394,17 +420,38 @@ def step(
         # scan with a garbage twist
         sane = (jnp.linalg.norm(rel.t) < 2.0) & (
             jnp.linalg.norm(rot_vec) < 0.5)
-        # only past the startup window: before that the inter-frame twist
-        # is first-frame/startup garbage and smearing the scan with it
-        # poisons the young map (observed: 3x ATE on outliers_clusters
-        # from de-skewed pre-init frames)
-        settled = state.frame_count > cfg.startup_frames
         use_cv = ~imu_available & state.initialized & sane & settled
         s = (surf_trel / nominal)[:, None]
         q_s = so3_exp(s * rot_vec[None, :])
         cv = quat_rotate(q_s, surf_raw) + s * rel.t[None, :]
         cv = jnp.where(surf_mask[:, None], cv, surf_raw)
         surf_pts = jnp.where(use_cv, cv, surf_pts)
+    # translation de-skew for IMU-COVERED sweeps: the IMU path removes
+    # rotation only (as does the reference, removePointDistortion<Imu>,
+    # featureExtraction.cpp:292-313), leaving the v * scan_period
+    # translation smear in the scan — ~0.4 m at 4 m/s, which a deeply
+    # converged ICP then engraves into the young map (measured at full
+    # density: the whole-trajectory along-track error saturates at exactly
+    # v*T/2 — the estimator tracks the mid-sweep pose — aggressive_6dof
+    # ATE 0.42, closed_loop return-to-origin 0.22 at 5 ICP iters).
+    # Rotation comes from the IMU slerp; translation from the SMOOTHER's
+    # velocity rotated into the body frame with the smoother's own
+    # orientation (frame-consistent pair).  NOT from the pose-difference
+    # twist: that feeds the last solve's estimation error back into the
+    # next scan's de-skew, a positive-feedback 2-cycle that measurably
+    # grows an alternating-sign oscillation near rest (closed_loop
+    # endpoint error 0.38 m); the IMU-filtered smoother velocity is the
+    # damped source.
+    if cfg.use_translation_deskew:
+        v_b = quat_rotate(quat_conj(state.smoother.q[-1]),
+                          state.smoother.v[-1])
+        smoother_ok = state.smoother.valid[-1] & ~state.smoother.failed
+        v_sane = jnp.linalg.norm(v_b) < cfg.imu.max_velocity
+        use_trans = (imu_available & state.initialized & smoother_ok
+                     & v_sane & settled)
+        tr = jnp.where(surf_mask[:, None],
+                       surf_trel[:, None] * v_b[None, :], 0.0)
+        surf_pts = jnp.where(use_trans, surf_u + tr, surf_pts)
 
     # 6-DoF VIO-path undistortion (reference removePointDistortion<Odometry>,
     # featureExtraction.cpp:236-249,462-468): when the external pose path
@@ -442,6 +489,10 @@ def step(
             cv_e = quat_rotate(q_se, edge_raw) + se * rel.t[None, :]
             cv_e = jnp.where(edge_mask[:, None], cv_e, edge_raw)
             edge_pts = jnp.where(use_cv, cv_e, edge_pts)
+        if cfg.use_translation_deskew:
+            tr_e = jnp.where(edge_mask[:, None],
+                             edge_trel[:, None] * v_b[None, :], 0.0)
+            edge_pts = jnp.where(use_trans, edge_u + tr_e, edge_pts)
         if cfg.use_vio_undistortion and vio is not None:
             edge_v, _, _ = undistort_points_posed(
                 edge_raw, edge_trel, edge_mask, scan.t_start,
@@ -638,6 +689,11 @@ def step(
         degenerate=icp_stats.degenerate & run_icp,
         uncertainty=jnp.where(run_icp, icp_stats.uncertainty,
                               state.uncertainty),
+        obs_ema=jnp.where(
+            run_icp,
+            0.8 * state.obs_ema + 0.2 * icp_stats.uncertainty[:3],
+            state.obs_ema,
+        ),
         vio_pose=state.vio_pose,
         vio_available=state.vio_available,
         prev_imu=imu._replace(mask=imu.mask & imu_available),

@@ -467,13 +467,16 @@ def _accumulate_normal_system(
     rt: RuntimeParams,
     prior: Optional[PosePrior],
     use_edges: bool = True,
+    a_mult=1.0,
 ):
     """Build H (6x6) and g (6,) from all correspondences at the current pose.
 
     Residual/Jacobian math mirrors SurfNormAnalyticCostFunction and
     EdgeAnalyticCostFunction (lidarOptimization.cpp:12-80) with consistent
     left-SE(3) perturbation; robust weights mirror Tukey(sqrt(3*res)) x
-    ScaledLoss(fitQuality) (LidarSlam.cpp:260-275).
+    ScaledLoss(fitQuality) (LidarSlam.cpp:260-275).  ``a_mult`` scales the
+    Tukey squared-residual support (per-round annealing, see
+    RegistrationConfig.tukey_anneal).
     """
     dtype = planes.p_body.dtype
 
@@ -481,7 +484,7 @@ def _accumulate_normal_system(
     wp = pose.apply(planes.p_body)  # [Mp,3]
     r_p = jnp.einsum("mi,mi->m", planes.normal, wp) + planes.d  # [Mp]
     J_p = jnp.concatenate([planes.normal, jnp.cross(wp, planes.normal)], axis=-1)
-    w_tukey_p = _tukey_weight(r_p * r_p, 3.0 * rt.plane_res)
+    w_tukey_p = _tukey_weight(r_p * r_p, 3.0 * rt.plane_res * a_mult)
     w_p = planes.valid.astype(dtype) * planes.coeff * w_tukey_p
     H = jnp.einsum("m,mi,mj->ij", w_p, J_p, J_p)
     g = jnp.einsum("m,mi,m->i", w_p, J_p, r_p)
@@ -505,7 +508,7 @@ def _accumulate_normal_system(
         )  # [Me,3,6] : dw/d[dt,dw]
         J_e = jnp.einsum("mij,mjk->mik", L, Jw)  # [Me,3,6]
         sq_e = jnp.sum(r_e * r_e, axis=-1)
-        w_tukey_e = _tukey_weight(sq_e, 3.0 * rt.line_res)
+        w_tukey_e = _tukey_weight(sq_e, 3.0 * rt.line_res * a_mult)
         w_e = edges.valid.astype(dtype) * edges.coeff * w_tukey_e
         H = H + jnp.einsum("m,mri,mrj->ij", w_e, J_e, J_e)
         g = g + jnp.einsum("m,mri,mr->i", w_e, J_e, r_e)
@@ -533,10 +536,41 @@ def gauss_newton_solve(
     prior: Optional[PosePrior] = None,
     damping: float = 1e-4,
     use_edges: bool = True,
+    a_mult=1.0,
+    axis_hold_min: int = 0,
 ):
     """Fixed-count damped Gauss-Newton on SE(3) with IRLS robust weights —
     the stand-in for ceres::Solve (DENSE_QR, max 4 iterations,
-    LidarSlam.cpp:230-240).  Returns (pose, converged_in_one)."""
+    LidarSlam.cpp:230-240).  Returns (pose, converged_in_one).
+
+    ``axis_hold_min`` > 0 enables the per-axis MATCH-COUNT hold: a body
+    translation axis whose dominant-normal correspondence count (the
+    observability histogram's own votes, _observability_bins) falls below
+    the threshold has the GN translation update along it zeroed, so the
+    pose HOLDS the prediction there instead of sliding on tilted fits.
+    Measured necessity: against a warming-up map with ZERO x-normal
+    correspondences the first accepted GN solve walked 0.43 m along x AT
+    REST and the map engraved the offset for the whole run
+    (aggressive_6dof at 16k density, ATE 0.45).  This is deliberately NOT
+    Zhang eigenvalue remapping — that was tried and rejected (see the
+    NOTE at RegistrationConfig.pos_degeneracy_threshold: the conditioning
+    metric cannot separate a truly unobservable corridor from an
+    elongated-but-observable room).  A literal absence of supporting
+    correspondences is a discrete, data-driven criterion immune to both
+    failure modes; with an external absolute-pose prior enabled the hold
+    is released (the prior legitimately moves held axes)."""
+
+    hold = None
+    if axis_hold_min > 0:
+        votes = planes.obs_bins[:, 2] - 6  # top translation axis per corr
+        cnt = jnp.sum(
+            (votes[:, None] == jnp.arange(3, dtype=votes.dtype)[None, :])
+            & planes.valid[:, None],
+            axis=0,
+        )
+        hold = cnt < axis_hold_min  # bool[3] — body axes
+        if prior is not None:
+            hold = hold & ~prior.enabled
 
     # NOTE: a while_loop with an early-exit condition was measured ~13%
     # SLOWER end-to-end here — nesting it inside the outer ICP while_loop
@@ -544,12 +578,21 @@ def gauss_newton_solve(
     def body(carry, _):
         p, first_step_small = carry
         H, g, _ = _accumulate_normal_system(p, planes, edges, rt, prior,
-                                            use_edges)
+                                            use_edges, a_mult)
         Hd = H + damping * jnp.eye(6, dtype=g.dtype) * (1.0 + jnp.diag(H))
         # unrolled 6x6 Cholesky fuses into the GN chain (a cho_factor custom
         # call per iteration serializes 12-16 tiny ops per scan)
         delta = -solve6_spd(Hd, g)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        if hold is not None:
+            # remove the translation component along held BODY axes (the
+            # delta lives in the world frame; bins measure constraint
+            # along rotated body axes)
+            axes = quat_rotate(p.q[None, :], jnp.eye(3, dtype=delta.dtype))
+            dt = delta[:3] - axes.T @ (
+                hold.astype(delta.dtype) * (axes @ delta[:3])
+            )
+            delta = jnp.concatenate([dt, delta[3:]])
         p_new = apply_se3_update(p, delta)
         step_small = jnp.linalg.norm(delta) < 1e-6
         return (p_new, first_step_small), step_small
@@ -669,6 +712,21 @@ def icp_register(
             edge_map, map_cfg, pose0.apply(edge_pts)
         )
 
+    def _anneal(it):
+        """Tukey support multiplier for outer round ``it`` (0-based count of
+        completed live rounds).  1.0 (anneal off) keeps the reference's
+        verbatim Tukey(sqrt(3*res)) scale every round; < 1.0 shrinks the
+        squared-residual support geometrically once the pose has converged
+        toward the true alignment, rejecting self-consistent moving
+        geometry that the wide first-round support must accept (see
+        RegistrationConfig.tukey_anneal; PARITY.md row 26)."""
+        if reg.tukey_anneal >= 1.0:
+            return 1.0
+        return jnp.maximum(
+            jnp.asarray(reg.tukey_anneal, dtype) ** it.astype(dtype),
+            jnp.asarray(reg.tukey_anneal_floor, dtype),
+        )
+
     def _dummy_lines():
         ne = edge_pts.shape[0]
         return EdgeCorrs(
@@ -710,7 +768,8 @@ def icp_register(
         planes, lines = corr_fn(pose)
         new_pose, one_step = gauss_newton_solve(
             pose, planes, lines, rt, reg.max_gn_iters, prior,
-            use_edges=use_edges,
+            use_edges=use_edges, a_mult=_anneal(it),
+            axis_hold_min=reg.axis_hold_min_matches,
         )
         # freeze once converged (mirrors the num_successful_steps==1 break);
         # needed for batched (vmapped) execution where the while loop keeps
@@ -836,9 +895,12 @@ def icp_register(
         pose, _, n_it, (planes, lines), (t_norms, r_norms, surf_ns, edge_ns) = carry
     active = jnp.arange(max_it) < n_it
     # one H evaluation at the final pose (the reference computes covariance
-    # once, from the final problem, LidarSlam.cpp:141-147)
-    H, _, _ = _accumulate_normal_system(pose, planes, lines, rt, prior,
-                                        use_edges)
+    # once, from the final problem, LidarSlam.cpp:141-147), at the LAST
+    # executed round's annealed Tukey support
+    H, _, _ = _accumulate_normal_system(
+        pose, planes, lines, rt, prior, use_edges,
+        _anneal(jnp.maximum(n_it - 1, 0)),
+    )
 
     # alignment risk must measure the LIDAR data alone: remove the absolute-
     # pose prior's (diagonal) information before the covariance analysis,

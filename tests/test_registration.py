@@ -277,3 +277,63 @@ def test_pose_prior_pulls_solution(rng):
     np.testing.assert_allclose(np.asarray(pose.t), [1, 2, 3], atol=1e-2)
     dq = geo.quat_mul(geo.quat_conj(target.q), pose.q)
     assert abs(float(dq[0])) > 0.9999
+
+
+def test_axis_hold_blocks_unsupported_axis(rng):
+    """Per-axis match-count hold (RegistrationConfig.axis_hold_min_matches):
+    with zero x-dominant correspondences, the GN update must NOT move x
+    (the measured warming-up-map failure: tilted fits walked the pose
+    0.43 m along x at rest) while y/z still converge; with the hold
+    disabled the same problem slides in x.  With an enabled absolute-pose
+    prior the hold is released."""
+    n = 256
+    half = 6.0
+    # planes normal to y and z only (floor/ceiling + y-walls); residuals
+    # are manufactured from a y/z offset plus a tilt that leaks an x
+    # gradient (each normal gets a small x component, like a tilted fit)
+    pts_y = np.stack([rng.uniform(-half, half, n // 2),
+                      np.full(n // 2, half),
+                      rng.uniform(-2, 2, n // 2)], axis=-1)
+    pts_z = np.stack([rng.uniform(-half, half, n // 2),
+                      rng.uniform(-half, half, n // 2),
+                      np.full(n // 2, 2.0)], axis=-1)
+    pts = np.concatenate([pts_y, pts_z]).astype(np.float32)
+    nrm = np.concatenate([
+        np.tile(np.array([[0.15, 0.99, 0.0]], np.float32), (n // 2, 1)),
+        np.tile(np.array([[0.15, 0.0, 0.99]], np.float32), (n // 2, 1)),
+    ])
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    d = -np.einsum("ij,ij->i", nrm, pts).astype(np.float32)
+    # obs votes: dominant axis is y for the first half, z for the second
+    obs = np.zeros((n, 3), np.int32)
+    obs[:, 2] = np.concatenate([np.full(n // 2, 7), np.full(n // 2, 8)])
+    planes = reg.PlaneCorrs(
+        p_body=jnp.asarray(pts), normal=jnp.asarray(nrm), d=jnp.asarray(d),
+        coeff=jnp.ones(n), valid=jnp.ones(n, bool),
+        code=jnp.zeros(n, jnp.int32), obs_bins=jnp.asarray(obs))
+    edges = reg.EdgeCorrs(
+        p_body=jnp.zeros((8, 3)), a=jnp.zeros((8, 3)), b=jnp.ones((8, 3)),
+        coeff=jnp.zeros(8), valid=jnp.zeros(8, bool),
+        code=jnp.zeros(8, jnp.int32))
+    start = geo.Pose(geo.quat_identity(),
+                     jnp.asarray([0.0, 0.3, -0.2], jnp.float32))
+
+    held, _ = reg.gauss_newton_solve(start, planes, edges, RT, 8,
+                                     axis_hold_min=10)
+    free, _ = reg.gauss_newton_solve(start, planes, edges, RT, 8)
+    # held: x pinned at the prediction, y/z converge to the surfaces
+    assert abs(float(held.t[0]) - 0.0) < 1e-4, held.t
+    assert abs(float(held.t[1])) < 0.02 and abs(float(held.t[2])) < 0.02
+    # unheld: the leaked x gradient moves x away from the prediction
+    assert abs(float(free.t[0])) > 0.05, free.t
+
+    prior = reg.PosePrior(
+        pose=geo.Pose(geo.quat_identity(),
+                      jnp.asarray([0.4, 0.0, 0.0], jnp.float32)),
+        information=jnp.full((6,), 1e4, jnp.float32),
+        enabled=jnp.array(True),
+    )
+    aided, _ = reg.gauss_newton_solve(start, planes, edges, RT, 8, prior,
+                                      axis_hold_min=10)
+    # prior releases the hold: x moves to the prior's x
+    assert abs(float(aided.t[0]) - 0.4) < 0.05, aided.t

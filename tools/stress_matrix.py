@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--platform", choices=["cpu", "axon"],
                     help="force a jax backend (the image's sitecustomize "
                          "otherwise routes everything to the TPU relay)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="dotted.config.key=value applied to BOTH configs "
+                         "(A/B diagnosis, e.g. registration.refresh_width=0)")
+    ap.add_argument("--configs", nargs="*", choices=["ship", "parity"],
+                    help="subset of configs to run")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +94,21 @@ def main():
     if args.cases:
         cases = [c for c in cases if c.name in set(args.cases)]
     configs = _configs(args.points)
+    if args.configs:
+        configs = [(n, c) for n, c in configs if n in set(args.configs)]
+    if args.override:
+        import ast
+
+        from tools.profile import apply_overrides
+
+        ov = {}
+        for kv in args.override:
+            k, v = kv.split("=", 1)
+            try:
+                ov[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                ov[k] = v
+        configs = [(n, apply_overrides(c, ov)) for n, c in configs]
 
     rows = []
     for case in cases:
