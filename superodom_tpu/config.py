@@ -233,8 +233,23 @@ class RegistrationConfig:
     # every observable-room case keeps hundreds; and the hold is
     # data-driven, not estimated-motion-driven, so it cannot
     # self-confirm.  Released when the VIO absolute-pose prior is active
-    # (the prior legitimately moves weakly-observed axes).  0 disables.
+    # (the prior legitimately moves weakly-observed axes).  The pipeline
+    # arms the hold ONLY during the warm-up window (startup frames + the
+    # 5-frame re-warm after a velocity-gate rollback) — the scope where
+    # the pathology was measured.  Round-4 shipped it unscoped and it
+    # became a regression: a mature map's sparse votes are real signal,
+    # and holding them froze edge-dominated solves (edge registration xy
+    # error 0.18 m) and the travel axis of sparse far-field scenes
+    # (far_field CI ATE 0.29 -> 3.94).  0 disables entirely.
     axis_hold_min_matches: int = 10
+    # The hold threshold is min(axis_hold_min_matches, max(1,
+    # axis_hold_frac * accepted_matches)): the absolute count was tuned at
+    # 16k full density and over-held at CI density (round-4 regression:
+    # stop_and_go ATE 0.15 -> 4.49 at 4096 pts), so it scales down with
+    # the accepted plane+edge match budget.  Edge correspondences vote for
+    # the body axes perpendicular to their line direction (round-4
+    # regression: plane-only votes froze edge-dominated solves).
+    axis_hold_frac: float = 0.005
     visual_confidence_factor: float = 1.0
 
     def __post_init__(self):

@@ -183,11 +183,58 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdomState:
         smoother=smoother_init(cfg.imu, dtype),
         degenerate=jnp.asarray(False),
         uncertainty=jnp.zeros((6,), dtype),
-        obs_ema=jnp.ones((3,), dtype),
+        # conservative: the EMA must EARN trust from measured shares.  A
+        # ones-init left min(obs_ema) above the LIO threshold for ~15
+        # frames after an observable->degenerate transition (or a
+        # localization start inside a corridor), re-arming LIO exactly in
+        # the window the veto exists to cover (ADVICE r4).
+        obs_ema=jnp.zeros((3,), dtype),
         vio_pose=Pose.identity(dtype),
         vio_available=jnp.asarray(False),
         prev_imu=empty_imu_window(cfg.imu.max_imu_per_scan, dtype),
     )
+
+
+OBS_EMA_DECAY = 0.8  # per-accepted-frame decay of the observability EMA
+
+
+def update_obs_ema(obs_ema, uncertainty3, run_icp):
+    """Per-axis translation-observability EMA, advanced only on frames
+    whose solve actually ran (a skipped/gated frame carries no new
+    observability evidence).  The EMA — not the instantaneous share —
+    feeds the LIO trust gate: a degenerate corridor's single-frame
+    excursions above the threshold must not re-arm LIO (measured:
+    per-frame gating leaked enough trusted frames to corrupt y/z by
+    1.8 m), while a baffled avenue's stationary share keeps its trust."""
+    return jnp.where(
+        run_icp,
+        OBS_EMA_DECAY * obs_ema + (1.0 - OBS_EMA_DECAY) * uncertainty3,
+        obs_ema,
+    )
+
+
+def lio_obs_trusted(degenerate, obs_ema, min_observability: float,
+                    obs_inst=None):
+    """LIO-prediction trust gate (see PipelineConfig.lio_min_observability):
+    trust when the last solve was healthy, OR when every translation
+    axis's observability holds a real feature share — the regime
+    separation between a baffled avenue (condition-number degenerate but
+    every axis observed; position-holding there outruns the
+    correspondence gates) and a featureless corridor (an axis truly
+    starved; LIO there closes a feedback loop).
+
+    BOTH the EMA and the instantaneous share must clear the threshold
+    (ADVICE r4): the EMA alone vetoes a corridor's single-frame
+    excursions but takes ~11 frames (0.8 decay) to drop trust after an
+    observable->degenerate transition — exactly the window the veto
+    exists to cover; the instantaneous share drops the same frame."""
+    trusted = ~degenerate
+    if min_observability > 0.0:
+        share_ok = jnp.min(obs_ema) > min_observability
+        if obs_inst is not None:
+            share_ok = share_ok & (jnp.min(obs_inst) > min_observability)
+        trusted = trusted | share_ok
+    return trusted
 
 
 def _extract_roll_pitch(q: jnp.ndarray) -> jnp.ndarray:
@@ -267,16 +314,10 @@ def _select_prediction(
         # at speed outruns the correspondence gates and stalls tracking
         # permanently.  The observability gate separates the regimes
         # (see PipelineConfig.lio_min_observability).
-        trusted = ~state.degenerate
-        if cfg.lio_min_observability > 0.0:
-            # the EMA, not the instantaneous share: a degenerate corridor's
-            # single-frame excursions above the threshold must not re-arm
-            # LIO (measured: per-frame gating leaked enough trusted frames
-            # to corrupt y/z by 1.8 m; the avenue's share is stationary so
-            # the EMA preserves its trust)
-            trusted = trusted | (
-                jnp.min(state.obs_ema) > cfg.lio_min_observability
-            )
+        trusted = lio_obs_trusted(
+            state.degenerate, state.obs_ema, cfg.lio_min_observability,
+            obs_inst=state.uncertainty[:3],
+        )
         use_lio = lio_available & imu_available & trusted
         normal_pose = jax.tree_util.tree_map(
             lambda a, b: jnp.where(use_lio, a, b), lio_pose, normal_pose
@@ -553,10 +594,21 @@ def step(
         information=_vio_information(state, surf_mask, reg, dtype),
         enabled=use_vio,
     )
+    # The per-axis match-count hold is armed only while the map is young
+    # (warm-up window + the 5-frame re-warm after a velocity-gate rollback,
+    # startup_count resets below): that's where the measured pathology lives
+    # (a warming-up map's tilted fits walked 0.43 m at rest with zero
+    # axis votes).  Past warm-up, sparse votes are real signal — an
+    # unscoped hold froze the travel axis in far-field scenes (round-4
+    # regression).  See RegistrationConfig.axis_hold_min_matches.
+    hold_enabled = (state.startup_count > 0) | (
+        state.frame_count <= cfg.startup_frames
+    )
     reg_pose, icp_stats = icp_register(
         state.edge_map, state.surf_map, cfg.map, reg, pred_pose,
         edge_pts, edge_mask, surf_pts, surf_mask, rt, prior,
         use_edges=cfg.use_edge_features,
+        hold_enabled=hold_enabled,
     )
     # accepted-correspondence sufficiency: plane_rejection_hist[0] counts
     # MATCH_SUCCESS codes of the final extraction (+ edge successes when the
@@ -689,10 +741,8 @@ def step(
         degenerate=icp_stats.degenerate & run_icp,
         uncertainty=jnp.where(run_icp, icp_stats.uncertainty,
                               state.uncertainty),
-        obs_ema=jnp.where(
-            run_icp,
-            0.8 * state.obs_ema + 0.2 * icp_stats.uncertainty[:3],
-            state.obs_ema,
+        obs_ema=update_obs_ema(
+            state.obs_ema, icp_stats.uncertainty[:3], run_icp
         ),
         vio_pose=state.vio_pose,
         vio_available=state.vio_available,

@@ -154,8 +154,46 @@ def main():
           if worst else "no finite rows")
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(rows, f, indent=1)
+            json.dump({"provenance": _provenance(args),
+                       "rows": rows}, f, indent=1)
     sys.exit(1 if n_fail else 0)
+
+
+def _provenance(args):
+    """Embed WHAT was measured and WHEN directly in the artifact (VERDICT
+    r4: a stale pre-fix capture was committed as qualification because
+    nothing inside the JSON named the commit it came from).  Mirrors the
+    run metadata the reference's recorder stamps on its analysis files
+    (script/save_benchmark_result.py:211-269)."""
+    import hashlib
+    import subprocess
+
+    import jax
+
+    try:
+        sha = subprocess.run(
+            ["git", "-C", _REPO_ROOT, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "-C", _REPO_ROOT, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10).stdout.strip())
+    except Exception:
+        sha, dirty = "unknown", True
+    cfg_hash = hashlib.sha256(
+        "\n".join(repr(c) for _, c in _configs(args.points))
+        .encode()).hexdigest()[:16]
+    return {
+        "git_sha": sha,
+        "git_dirty": dirty,
+        "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "points": args.points,
+        "scale": args.scale,
+        "seed": args.seed,
+        "config_hash": cfg_hash,
+        "overrides": list(args.override),
+    }
 
 
 if __name__ == "__main__":
