@@ -141,6 +141,13 @@ def bench_single(sensor_name="os1", n_scans=240, preload=True, chunk=None,
         "ate_m": round(ate, 3),
         "tracking": bool(ate < 0.5),
     }
+    if parity:
+        # honest labeling (ADVICE r4): the row matches the reference's
+        # ITERATION ENVELOPE (5 outer ICP x <=4 GN) but the robust
+        # objective is envelope-TUNED (per-round Tukey annealing +
+        # candidate refresh), not the reference's fixed support —
+        # see PARITY.md rows 25-26
+        out["objective"] = "envelope-tuned"
     # real per-scan latency percentiles: a separate small-chunk pass with a
     # device sync per chunk (OptimizationStats.msg:9-10 semantics — the
     # reference stamps each frame; chunk-of-16 granularity here)

@@ -33,6 +33,108 @@ from superodom_tpu.pipeline import (
 )
 
 
+class PackedChunkTransport:
+    """Single-``device_put`` chunk transport for host->device streaming.
+
+    The remote-attached relay charges a ~28 ms round trip PER device_put
+    CALL regardless of payload size (measured round 5: a 10-float leaf and
+    a 5 MB leaf both floor at ~28 ms), so uploading the 11-leaf chunk
+    pytree costs ~300 ms/chunk in pure RPC latency while the wire moves
+    400-1000 MB/s.  This packs every leaf of the chunk into ONE contiguous
+    uint8 buffer on the host and unpacks on-device inside the jitted chunk
+    program — one RPC per chunk.  Narrow transports cut bandwidth 30%:
+
+      Scan.t_rel  f32 -> u16 quantized over 2x the sweep span (~3 us
+                  resolution; IMU slerp interpolation noise is >> that)
+      Scan.ring   i32 -> u8 (<= 256 scan lines on every supported sensor)
+      masks/avail bool -> u8
+
+    A live deployment would do the same packing in its ingest thread; the
+    reference's driver equivalently receives ONE serialized LaserFeature
+    message per scan (super_odometry_msgs/msg/LaserFeature.msg:1-30)."""
+
+    _F32, _U16T, _U8B, _U8I = 0, 1, 2, 3  # transport kinds
+
+    def __init__(self, template_chunk, scan_period: float):
+        self.trel_span = 2.0 * float(scan_period)
+        leaves, self.treedef = jax.tree_util.tree_flatten(template_chunk)
+        # identify the Scan leaves by position: the chunk tree is
+        # (Scan, ImuWindow, avail[, VioWindow]) and Scan flattens first as
+        # (xyz, t_rel, mask, t_start, ring)
+        self.specs = []  # (kind, shape, offset, nbytes)
+        off = 0
+        for i, leaf in enumerate(leaves):
+            arr = np.asarray(leaf)
+            if i == 1:  # Scan.t_rel
+                kind, nbytes = self._U16T, arr.size * 2
+            elif i == 4:  # Scan.ring
+                kind, nbytes = self._U8I, arr.size
+            elif arr.dtype == np.bool_:
+                kind, nbytes = self._U8B, arr.size
+            else:
+                if arr.dtype != np.float32:
+                    raise TypeError(
+                        f"packed transport: unexpected dtype {arr.dtype} "
+                        f"at leaf {i}")
+                kind, nbytes = self._F32, arr.size * 4
+            pad = (-nbytes) % 4  # keep every segment 4-byte aligned
+            self.specs.append((kind, arr.shape, off, nbytes))
+            off += nbytes + pad
+        self.total_bytes = off
+
+    def pack(self, chunk_tree) -> np.ndarray:
+        leaves = jax.tree_util.tree_leaves(chunk_tree)
+        buf = np.zeros((self.total_bytes,), np.uint8)
+        for (kind, shape, off, nbytes), leaf in zip(self.specs, leaves):
+            arr = np.ascontiguousarray(np.asarray(leaf))
+            if kind == self._U16T:
+                q = np.clip(arr / self.trel_span * 65535.0, 0, 65535)
+                raw = q.astype(np.uint16).view(np.uint8).ravel()
+            elif kind == self._U8I:
+                if arr.size and arr.max() > 255:
+                    raise ValueError("ring id > 255 in packed transport")
+                raw = arr.astype(np.uint8).ravel()
+            elif kind == self._U8B:
+                raw = arr.astype(np.uint8).ravel()
+            else:
+                raw = arr.view(np.uint8).ravel()
+            buf[off:off + nbytes] = raw
+        return buf
+
+    def unpack(self, buf):
+        """Device-side inverse (traced inside the jitted chunk program)."""
+        leaves = []
+        for kind, shape, off, nbytes in self.specs:
+            seg = jax.lax.slice(buf, (off,), (off + nbytes,))
+            if kind == self._U16T:
+                u16 = jax.lax.bitcast_convert_type(
+                    seg.reshape(-1, 2), jnp.uint16)
+                x = (u16.astype(jnp.float32)
+                     * (self.trel_span / 65535.0)).reshape(shape)
+            elif kind == self._U8I:
+                x = seg.astype(jnp.int32).reshape(shape)
+            elif kind == self._U8B:
+                x = seg.astype(jnp.bool_).reshape(shape)
+            else:
+                x = jax.lax.bitcast_convert_type(
+                    seg.reshape(-1, 4), jnp.float32).reshape(shape)
+            leaves.append(x)
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+
+def make_packed_chunk_fn(cfg: PipelineConfig,
+                         transport: PackedChunkTransport,
+                         high_rate: bool = False):
+    """The chunked replay program fed by ONE packed uint8 buffer: unpack
+    on-device, then run the same lax.scan body as make_chunked_step_fn."""
+    inner = make_chunked_step_fn(cfg, high_rate=high_rate)
+
+    def _chunk(state, buf):
+        return inner(state, *transport.unpack(buf))
+
+    return jax.jit(_chunk)
+
+
 @dataclasses.dataclass
 class RunResult:
     poses_q: np.ndarray  # [n,4]
@@ -561,41 +663,53 @@ class OdometryRunner:
             stack_host(lambda b, j=j: b[j]) for j in range(n_inputs)
         )
         index = lambda tree, c: jax.tree_util.tree_map(lambda a: a[c], tree)
+        host_chunk = lambda c: tuple(index(t, c) for t in host_inputs)
         if preload:
             # whole replay resident in HBM before timing: streaming
             # bandwidth (PCIe on a real host, a TCP relay here) stays out of
             # the registration-throughput number
             dev_inputs = jax.device_put(host_inputs)
+            transport = None
         else:
             dev_inputs = None  # uploaded chunk by chunk inside the loop
+            # ONE device_put per chunk (see PackedChunkTransport: the relay
+            # charges ~28 ms per CALL, so the 11-leaf pytree upload was
+            # ~300 ms/chunk in RPC latency alone — the round-4 streaming
+            # regression to 0.23x north star)
+            transport = PackedChunkTransport(host_chunk(0),
+                                             self.cfg.sensor.scan_period)
+            packed_fn = make_packed_chunk_fn(self.step_cfg, transport,
+                                             high_rate=high_rate)
 
         poses_q, poses_t, smoothed_t, stats = [], [], [], []
 
         # warmup compile on the first chunk shape
-        first = (tuple(index(t, 0) for t in dev_inputs) if preload
-                 else jax.device_put(
-                     tuple(index(t, 0) for t in host_inputs)))
-        _ = chunk_fn(self.state, *first)
+        if preload:
+            first = tuple(index(t, 0) for t in dev_inputs)
+            _ = chunk_fn(self.state, *first)
+        else:
+            _ = packed_fn(self.state,
+                          jax.device_put(transport.pack(host_chunk(0))))
         jax.block_until_ready(_[0])
 
         t_begin = time.perf_counter()
         pending = []
         chunk_ms: List[float] = []
-        host_chunk = lambda c: tuple(index(t, c) for t in host_inputs)
         if not preload:
-            next_inp = jax.device_put(host_chunk(0))
+            next_buf = jax.device_put(transport.pack(host_chunk(0)))
         for c in range(n_chunks):
+            t_chunk0 = time.perf_counter()
             if preload:
                 inp = tuple(index(t, c) for t in dev_inputs)
+                self.state, outs = chunk_fn(self.state, *inp)
             else:
-                inp = next_inp
-            t_chunk0 = time.perf_counter()
-            self.state, outs = chunk_fn(self.state, *inp)
-            if not preload and c + 1 < n_chunks:
-                # double-buffered streaming: the dispatch above is async, so
-                # issuing chunk c+1's upload NOW overlaps the host->device
-                # transfer with chunk c's device compute
-                next_inp = jax.device_put(host_chunk(c + 1))
+                self.state, outs = packed_fn(self.state, next_buf)
+                if c + 1 < n_chunks:
+                    # double-buffered streaming: the dispatch above is
+                    # async, so packing + uploading chunk c+1 NOW overlaps
+                    # the transfer with chunk c's device compute
+                    next_buf = jax.device_put(
+                        transport.pack(host_chunk(c + 1)))
             if time_chunks:
                 # block per chunk: each chunk's wall time is real (costs one
                 # device round trip per chunk, amortized over `chunk` scans)
