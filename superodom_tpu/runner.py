@@ -226,27 +226,30 @@ class OdometryRunner:
         ts, acc, gyr, qs = self.imu_buf.window(t0, t1, m)
         n = len(ts)
         pad = m - n
+        # HOST (numpy) leaves throughout the ingest builders: under a
+        # remote-attached device every eager jnp.asarray is a ~28 ms RPC,
+        # and the chunked replay pulls each leaf straight back for host
+        # stacking.  jit device_puts numpy inputs itself where needed.
         win = ImuWindow(
-            t=jnp.asarray(np.pad(ts, (0, pad)), self.dtype),
-            acc=jnp.asarray(np.pad(acc, ((0, pad), (0, 0))), self.dtype),
-            gyr=jnp.asarray(np.pad(gyr, ((0, pad), (0, 0))), self.dtype),
-            q=jnp.asarray(
-                np.concatenate(
-                    [qs, np.tile(np.array([1.0, 0, 0, 0], np.float32),
-                                 (pad, 1))]
-                ), self.dtype),
-            mask=jnp.asarray(np.arange(m) < n),
+            t=np.pad(ts, (0, pad)).astype(self.dtype),
+            acc=np.pad(acc, ((0, pad), (0, 0))).astype(self.dtype),
+            gyr=np.pad(gyr, ((0, pad), (0, 0))).astype(self.dtype),
+            q=np.concatenate(
+                [qs, np.tile(np.array([1.0, 0, 0, 0], np.float32),
+                             (pad, 1))]
+            ).astype(self.dtype),
+            mask=np.arange(m) < n,
         )
         return win, True
 
     def _empty_window(self) -> ImuWindow:
         m = self.cfg.imu.max_imu_per_scan
         return ImuWindow(
-            t=jnp.zeros((m,), self.dtype),
-            acc=jnp.zeros((m, 3), self.dtype),
-            gyr=jnp.zeros((m, 3), self.dtype),
-            q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], self.dtype)[None], (m, 1)),
-            mask=jnp.zeros((m,), bool),
+            t=np.zeros((m,), self.dtype),
+            acc=np.zeros((m, 3), self.dtype),
+            gyr=np.zeros((m, 3), self.dtype),
+            q=np.tile(np.array([1.0, 0, 0, 0], self.dtype)[None], (m, 1)),
+            mask=np.zeros((m,), bool),
         )
 
     # ---------------- external odometry (VIO) aiding ------------------------
@@ -269,7 +272,13 @@ class OdometryRunner:
         k = self.cfg.max_vio_per_scan
         ts = np.asarray([s[0] for s in self._vio_samples])
         if len(ts) < 2 or ts[0] > t0 or ts[-1] < t1:
-            return empty_vio_window(k, self.dtype)
+            return VioWindow(
+                t=np.zeros((k,), self.dtype),
+                q=np.tile(np.array([1.0, 0, 0, 0], self.dtype)[None],
+                          (k, 1)),
+                p=np.zeros((k, 3), self.dtype),
+                mask=np.zeros((k,), bool),
+            )
         lo = int(np.searchsorted(ts, t0, side="right")) - 1
         hi = int(np.searchsorted(ts, t1, side="left")) + 1
         sel = list(range(max(lo, 0), min(hi, len(ts))))
@@ -281,12 +290,12 @@ class OdometryRunner:
         q = np.stack([self._vio_samples[i][1] for i in sel])
         p = np.stack([self._vio_samples[i][2] for i in sel])
         return VioWindow(
-            t=jnp.asarray(np.pad(ts[sel], (0, pad)), self.dtype),
-            q=jnp.asarray(np.concatenate(
+            t=np.pad(ts[sel], (0, pad)).astype(self.dtype),
+            q=np.concatenate(
                 [q, np.tile(np.array([1, 0, 0, 0], np.float32), (pad, 1))]
-            ), self.dtype),
-            p=jnp.asarray(np.pad(p, ((0, pad), (0, 0))), self.dtype),
-            mask=jnp.asarray(np.arange(k) < n),
+            ).astype(self.dtype),
+            p=np.pad(p, ((0, pad), (0, 0))).astype(self.dtype),
+            mask=np.arange(k) < n,
         )
 
     def set_vio_pose(self, q_wxyz: np.ndarray, t_xyz: np.ndarray,
@@ -333,29 +342,29 @@ class OdometryRunner:
             prev = xyz_arr[0::stride][:w]
             dup = np.all(np.abs(cand - prev) <= 1e-7, axis=-1)
             return Scan(
-                xyz=jnp.asarray(cand, self.dtype),
-                t_rel=jnp.asarray(t_arr[1::stride][:w], self.dtype),
-                mask=jnp.asarray(mask[1::stride][:w] & ~dup),
-                t_start=jnp.asarray(t_start, self.dtype),
-                ring=jnp.zeros((w,), jnp.int32),
+                xyz=np.ascontiguousarray(cand, self.dtype),
+                t_rel=np.ascontiguousarray(t_arr[1::stride][:w], self.dtype),
+                mask=mask[1::stride][:w] & ~dup,
+                t_start=np.asarray(t_start, self.dtype),
+                ring=np.zeros((w,), np.int32),
             )
 
         ring_arr = np.zeros((n_max,), np.int32)
         if ring is not None:
             ring_arr[:n] = ring[:n]
         return Scan(
-            xyz=jnp.asarray(xyz_arr, self.dtype),
-            t_rel=jnp.asarray(t_arr, self.dtype),
-            mask=jnp.asarray(mask),
-            t_start=jnp.asarray(t_start, self.dtype),
-            ring=jnp.asarray(ring_arr),
+            xyz=xyz_arr.astype(self.dtype, copy=False),
+            t_rel=t_arr.astype(self.dtype, copy=False),
+            mask=mask,
+            t_start=np.asarray(t_start, self.dtype),
+            ring=ring_arr,
         )
 
     def process_scan(self, t_start, xyz, t_rel) -> StepOutput:
         scan = self.make_scan(t_start, xyz, t_rel)
         t_end = t_start + (float(t_rel[-1]) if len(t_rel) else 0.0)
         window, synced = self._imu_window(t_start, t_end)
-        args = (self.state, scan, window, jnp.asarray(synced))
+        args = (self.state, scan, window, np.asarray(synced))
         if self.cfg.use_vio_undistortion:
             args = args + (self._vio_window(t_start, t_end),)
         self.state, out = self.step_fn(*args)
@@ -531,7 +540,7 @@ class OdometryRunner:
             s0 = dataset.scans[0]
             scan = self.make_scan(s0.t_start, s0.xyz_body, s0.t_rel)
             win = self._empty_window()
-            wargs = (self.state, scan, win, jnp.asarray(False))
+            wargs = (self.state, scan, win, np.asarray(False))
             if self.cfg.use_vio_undistortion:
                 wargs = wargs + (empty_vio_window(
                     self.cfg.max_vio_per_scan, self.dtype),)
@@ -634,7 +643,7 @@ class OdometryRunner:
                 win, ok = self._imu_window(s.t_start, t_end)
             else:
                 win, ok = self._empty_window(), False
-            out = (scan, win, jnp.asarray(ok))
+            out = (scan, win, np.asarray(ok))
             if self.cfg.use_vio_undistortion:
                 out = out + (self._vio_window(s.t_start, t_end),)
             return out
