@@ -23,6 +23,20 @@ import numpy as np
 BASELINE_SCANS_PER_SEC = 200.0  # north-star target (BASELINE.md)
 
 
+def _enable_compile_cache():
+    # persistent XLA compile cache (same dir as tools/stress_matrix and
+    # tests/conftest): the chunked replay programs take minutes to compile
+    # through the remote relay; repeat bench invocations should pay that
+    # once per program shape, not once per run
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/superodom_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
+
+
 def _config(name, tuned=True, parity=False):
     import dataclasses
 

@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from superodom_tpu.config import MapConfig
 from superodom_tpu.ops.voxel import (
@@ -45,9 +46,14 @@ from superodom_tpu.ops.voxel import (
     voxel_coords,
 )
 
-_BIG = jnp.float32(1e30)
-_INT_MAX = jnp.int32(2147483647)
-_EMPTY = jnp.int32(-1)
+# HOST (numpy) constants: a module-level jnp scalar is created ON the
+# default device at import, and every program that closes over it must
+# fetch its value back at lowering time — measured at 47 s per fetch
+# through the remote-attached relay (round 5).  numpy constants embed
+# into the HLO for free.
+_BIG = np.float32(1e30)
+_INT_MAX = np.int32(2147483647)
+_EMPTY = np.int32(-1)
 _COORD_BITS = 10
 _COORD_MASK = (1 << _COORD_BITS) - 1  # 1023
 _COORD_PERIOD = 1 << _COORD_BITS  # 1024 cells before wrap
@@ -345,11 +351,11 @@ def query_knn(
 
 
 # octant offset patterns: 8 corners of {0, s}^3 where s = +-1 per axis
-_OCT_CORNERS = jnp.stack(
-    jnp.meshgrid(
-        jnp.arange(2, dtype=jnp.int32),
-        jnp.arange(2, dtype=jnp.int32),
-        jnp.arange(2, dtype=jnp.int32),
+_OCT_CORNERS = np.stack(
+    np.meshgrid(
+        np.arange(2, dtype=np.int32),
+        np.arange(2, dtype=np.int32),
+        np.arange(2, dtype=np.int32),
         indexing="ij",
     ),
     axis=-1,

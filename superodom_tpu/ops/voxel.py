@@ -10,15 +10,19 @@ with a validity mask; compaction moves valid lanes to the front.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import ops as jops
 
 # Multiplier primes per axis; mixing is murmur3-fmix style.  (Plain XOR of
 # odd multiples — the classic Teschner hash — collides on sign-flipped
 # coordinate pairs: (-a)^(-b) == a^b whenever a and b are both odd.)
-_P1 = jnp.uint32(73856093)
-_P2 = jnp.uint32(19349663)
-_P3 = jnp.uint32(83492791)
-_SEEDS = (jnp.uint32(0x9E3779B9), jnp.uint32(0x85EBCA77))
+# HOST (numpy) constants: module-level jnp scalars live on the default
+# device and cost a relay round trip per captured program at lowering
+# time (see mapstate.py) — numpy scalars embed into the HLO directly.
+_P1 = np.uint32(73856093)
+_P2 = np.uint32(19349663)
+_P3 = np.uint32(83492791)
+_SEEDS = (np.uint32(0x9E3779B9), np.uint32(0x85EBCA77))
 
 
 def voxel_coords(xyz: jnp.ndarray, res) -> jnp.ndarray:
