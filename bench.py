@@ -232,13 +232,15 @@ def bench_batch(batch=4, n_scans=40):
         for t in dev_inputs
     ]
 
+    from superodom_tpu.runner import device_sync
+
     state_w, _ = chunk_fn(state, *dev_inputs[0])
-    jax.block_until_ready(state_w)
+    device_sync(state_w)
 
     t0 = time.perf_counter()
     for inp in dev_inputs:
         state, _ = chunk_fn(state, *inp)
-    jax.block_until_ready(state)
+    device_sync(state)
     wall = time.perf_counter() - t0
     value = batch * n_chunks * chunk / wall
     return {

@@ -135,6 +135,22 @@ def make_packed_chunk_fn(cfg: PipelineConfig,
     return jax.jit(_chunk)
 
 
+def device_sync(tree) -> None:
+    """Wait until every dispatched computation producing ``tree`` finished.
+
+    ``jax.block_until_ready`` is a silent no-op for arrays living on the
+    remote-attached relay backend (measured round 5: a 3 ms "wait" on a
+    0.7 s chunk execution — it inflated a throughput reading 70x), so timed
+    regions must force a small materialization instead: fetching ANY output
+    of an execution implies the execution completed.  The smallest leaf
+    keeps the forced transfer negligible; on normal backends this costs one
+    tiny D2H copy."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if isinstance(x, jax.Array)]
+    if leaves:
+        np.asarray(jax.device_get(min(leaves, key=lambda a: a.size)))
+
+
 @dataclasses.dataclass
 class RunResult:
     poses_q: np.ndarray  # [n,4]
@@ -575,7 +591,7 @@ class OdometryRunner:
                     hr_q.append(qs[k])
                     hr_p.append(ps[k])
                     hr_v.append(vs[k])
-        jax.block_until_ready(self.state)
+        device_sync(self.state)
         wall = time.perf_counter() - t_begin
 
         if log_path:
@@ -699,7 +715,7 @@ class OdometryRunner:
         else:
             _ = packed_fn(self.state,
                           jax.device_put(transport.pack(host_chunk(0))))
-        jax.block_until_ready(_[0])
+        device_sync(_[0])
 
         t_begin = time.perf_counter()
         pending = []
@@ -722,12 +738,12 @@ class OdometryRunner:
             if time_chunks:
                 # block per chunk: each chunk's wall time is real (costs one
                 # device round trip per chunk, amortized over `chunk` scans)
-                jax.block_until_ready(self.state)
+                device_sync(self.state)
                 chunk_ms.append((time.perf_counter() - t_chunk0) * 1000.0)
             # keep device->host reads OUT of the loop otherwise: each scalar
             # read is a full round trip on a remote-attached device
             pending.append(outs)
-        jax.block_until_ready(self.state)
+        device_sync(self.state)
         wall = time.perf_counter() - t_begin  # registration work ends here;
         # stats readback below is reporting, not estimation
         mean_scan_ms = wall / max(n_chunks * chunk, 1) * 1000.0

@@ -77,3 +77,23 @@ def test_visualize_exports(tmp_path, rng):
     viz.export_run(str(tmp_path / "run"), run)
     lines = (tmp_path / "run" / "trajectory_tum.txt").read_text().splitlines()
     assert len(lines) == 10 and len(lines[0].split()) == 8
+
+
+def test_device_sync_pytrees_and_relay_floor_structure():
+    """device_sync must accept arbitrary pytrees (incl. no-array trees)
+    and relay_floor.measure must emit the derived floor fields it
+    documents — both run on whatever backend the suite uses."""
+    import jax.numpy as jnp
+
+    from superodom_tpu.runner import device_sync
+    from tools import relay_floor
+
+    device_sync({"a": jnp.arange(4), "b": (jnp.ones(()), None)})
+    device_sync([])  # no arrays: must be a no-op, not an error
+    device_sync(np.zeros(3))  # host-only leaves are ignored
+
+    out = relay_floor.measure(chunk=10)
+    for key in ("rpc_ms_tiny_put", "exec_ms_trivial", "sync_ms_ready",
+                "backend"):
+        assert key in out, key
+    assert out["rpc_ms_tiny_put"] >= 0.0

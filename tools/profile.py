@@ -38,11 +38,13 @@ if _REPO_ROOT not in sys.path:
 def _timeit(fn, *args, reps=1):
     import jax
 
+    from superodom_tpu.runner import device_sync
+
     out = fn(*args)  # compile
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     wall = time.perf_counter() - t0
     return wall / reps * 1000.0
 
