@@ -22,6 +22,14 @@ import numpy as np
 
 BASELINE_SCANS_PER_SEC = 200.0  # north-star target (BASELINE.md)
 
+# Streaming-row chunk: scans uploaded + executed per device dispatch when
+# host->device transfer sits INSIDE the timed loop.  The remote-attached
+# relay charges a fixed ~30 ms per RPC and ~75 ms per execution
+# (tools/relay_floor.py), so larger chunks amortize the environment floor;
+# at 10 Hz live rates a chunk of C scans is C*100 ms of ingest buffering,
+# still far below the reference's multi-second map-publish cadence.
+STREAM_CHUNK = 10
+
 
 def _enable_compile_cache():
     # persistent XLA compile cache (same dir as tools/stress_matrix and
@@ -257,7 +265,7 @@ def main():
         out = bench_batch(batch=int(which[5:] or 4))
     elif which == "stream":
         # host->device streaming INSIDE the timed loop (live-feed number)
-        out = bench_single("os1", preload=False, chunk=10)
+        out = bench_single("os1", preload=False, chunk=STREAM_CHUNK)
     elif which == "parity":
         out = bench_single("os1", parity=True)
     else:
@@ -273,7 +281,7 @@ def main():
             # live-feed row: host->device streaming INSIDE the timed loop
             # (VERDICT r3 item 8 — the capability number beside the
             # device-resident replay number)
-            s = bench_single("os1", preload=False, chunk=10)
+            s = bench_single("os1", preload=False, chunk=STREAM_CHUNK)
             out["streaming"] = {k: s[k] for k in
                                 ("value", "ate_m", "tracking", "p50_step_ms",
                                  "p90_step_ms", "vs_baseline")}

@@ -37,23 +37,29 @@ class PackedChunkTransport:
     """Single-``device_put`` chunk transport for host->device streaming.
 
     The remote-attached relay charges a ~28 ms round trip PER device_put
-    CALL regardless of payload size (measured round 5: a 10-float leaf and
-    a 5 MB leaf both floor at ~28 ms), so uploading the 11-leaf chunk
-    pytree costs ~300 ms/chunk in pure RPC latency while the wire moves
-    400-1000 MB/s.  This packs every leaf of the chunk into ONE contiguous
-    uint8 buffer on the host and unpacks on-device inside the jitted chunk
-    program — one RPC per chunk.  Narrow transports cut bandwidth 30%:
+    CALL regardless of payload size, so uploading the 11-leaf chunk pytree
+    costs ~300 ms/chunk in pure RPC latency.  Worse, the wire itself is
+    slow: ~21-40 MB/s sustained for packed payloads (measured round 5 with
+    an honest sync — tools/relay_floor.py; the relay compresses, so
+    structured data moves faster than random bytes).  This packs every
+    leaf of the chunk into ONE contiguous uint8 buffer on the host and
+    unpacks on-device inside the jitted chunk program — one RPC per chunk
+    — and narrows every wide leaf, since wire bytes ARE the streaming
+    floor here:
 
+      Scan.xyz    f32 -> u16 per-axis quantized over the chunk's bounding
+                  box (<= 2 mm resolution at 130 m span; sensor noise is
+                  ~10x that), box shipped as a 24-byte header
       Scan.t_rel  f32 -> u16 quantized over 2x the sweep span (~3 us
                   resolution; IMU slerp interpolation noise is >> that)
       Scan.ring   i32 -> u8 (<= 256 scan lines on every supported sensor)
-      masks/avail bool -> u8
+      masks/avail bool -> bitpacked u8 (8 lanes/byte)
 
     A live deployment would do the same packing in its ingest thread; the
     reference's driver equivalently receives ONE serialized LaserFeature
     message per scan (super_odometry_msgs/msg/LaserFeature.msg:1-30)."""
 
-    _F32, _U16T, _U8B, _U8I = 0, 1, 2, 3  # transport kinds
+    _F32, _U16T, _BITS, _U8I, _U16Q3 = 0, 1, 2, 3, 4  # transport kinds
 
     def __init__(self, template_chunk, scan_period: float):
         self.trel_span = 2.0 * float(scan_period)
@@ -65,12 +71,14 @@ class PackedChunkTransport:
         off = 0
         for i, leaf in enumerate(leaves):
             arr = np.asarray(leaf)
-            if i == 1:  # Scan.t_rel
+            if i == 0:  # Scan.xyz: 24-byte f32 box header + u16 payload
+                kind, nbytes = self._U16Q3, 24 + arr.size * 2
+            elif i == 1:  # Scan.t_rel
                 kind, nbytes = self._U16T, arr.size * 2
             elif i == 4:  # Scan.ring
                 kind, nbytes = self._U8I, arr.size
             elif arr.dtype == np.bool_:
-                kind, nbytes = self._U8B, arr.size
+                kind, nbytes = self._BITS, (arr.size + 7) // 8
             else:
                 if arr.dtype != np.float32:
                     raise TypeError(
@@ -87,6 +95,16 @@ class PackedChunkTransport:
         buf = np.zeros((self.total_bytes,), np.uint8)
         for (kind, shape, off, nbytes), leaf in zip(self.specs, leaves):
             arr = np.ascontiguousarray(np.asarray(leaf))
+            if kind == self._U16Q3:
+                pts = arr.reshape(-1, 3)
+                lo = pts.min(axis=0)
+                span = np.maximum(pts.max(axis=0) - lo, 1e-6)
+                hdr = np.concatenate([lo, span]).astype(np.float32)
+                q = ((pts - lo) / span * 65535.0).astype(np.uint16)
+                buf[off:off + 24] = hdr.view(np.uint8)
+                raw = q.view(np.uint8).ravel()
+                buf[off + 24:off + nbytes] = raw
+                continue
             if kind == self._U16T:
                 q = np.clip(arr / self.trel_span * 65535.0, 0, 65535)
                 raw = q.astype(np.uint16).view(np.uint8).ravel()
@@ -94,8 +112,8 @@ class PackedChunkTransport:
                 if arr.size and arr.max() > 255:
                     raise ValueError("ring id > 255 in packed transport")
                 raw = arr.astype(np.uint8).ravel()
-            elif kind == self._U8B:
-                raw = arr.astype(np.uint8).ravel()
+            elif kind == self._BITS:
+                raw = np.packbits(arr.ravel())
             else:
                 raw = arr.view(np.uint8).ravel()
             buf[off:off + nbytes] = raw
@@ -106,15 +124,26 @@ class PackedChunkTransport:
         leaves = []
         for kind, shape, off, nbytes in self.specs:
             seg = jax.lax.slice(buf, (off,), (off + nbytes,))
-            if kind == self._U16T:
+            if kind == self._U16Q3:
+                hdr = jax.lax.bitcast_convert_type(
+                    seg[:24].reshape(6, 4), jnp.float32)
+                lo, span = hdr[:3], hdr[3:]
+                u16 = jax.lax.bitcast_convert_type(
+                    seg[24:].reshape(-1, 3, 2), jnp.uint16)
+                x = (u16.astype(jnp.float32) * (span / 65535.0)
+                     + lo).reshape(shape)
+            elif kind == self._U16T:
                 u16 = jax.lax.bitcast_convert_type(
                     seg.reshape(-1, 2), jnp.uint16)
                 x = (u16.astype(jnp.float32)
                      * (self.trel_span / 65535.0)).reshape(shape)
             elif kind == self._U8I:
                 x = seg.astype(jnp.int32).reshape(shape)
-            elif kind == self._U8B:
-                x = seg.astype(jnp.bool_).reshape(shape)
+            elif kind == self._BITS:
+                size = int(np.prod(shape))
+                bits = (seg[:, None]
+                        >> (7 - jnp.arange(8, dtype=jnp.uint8))) & 1
+                x = bits.reshape(-1)[:size].astype(jnp.bool_).reshape(shape)
             else:
                 x = jax.lax.bitcast_convert_type(
                     seg.reshape(-1, 4), jnp.float32).reshape(shape)

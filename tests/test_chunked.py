@@ -135,3 +135,26 @@ def test_chunked_high_rate_stream(rng):
                                return_indices=True)
     assert len(i2) > 20, (len(t), len(res1.high_rate_t))
     np.testing.assert_allclose(p[i2], res1.high_rate_p[i1], atol=0.1)
+
+
+def test_streaming_matches_preload(rng):
+    """preload=False (packed host->device transport inside the loop) must
+    track as well as preload=True.  The transport's xyz quantization
+    (<= span/65535 per axis, 10x below sensor noise) perturbs individual
+    solves at the sub-mm level, which a marginal-tracking regime can
+    amplify arbitrarily — so the lock is ATE equivalence on a
+    well-tracking replay (same world/length as
+    test_chunked_replay_with_imu_tracks), not pose-wise equality."""
+    cfg = tiny_config()
+    ds = make_dataset(rng, n_scans=75, points_per_scan=2500, radius=2.0,
+                      world=small_world(), distortion=True)
+    res_pre = OdometryRunner(cfg).run_dataset_chunked(
+        ds, use_imu=True, chunk=15, preload=True)
+    res_str = OdometryRunner(cfg).run_dataset_chunked(
+        ds, use_imu=True, chunk=15, preload=False)
+    assert len(res_str.poses_t) == len(res_pre.poses_t)
+    ate_pre = ate_rmse(res_pre.poses_t, ds.gt_poses_t)
+    ate_str = ate_rmse(res_str.poses_t, ds.gt_poses_t)
+    assert ate_pre < 0.15 and ate_str < 0.15, (ate_pre, ate_str)
+    assert abs(ate_str - ate_pre) < 0.05, (
+        f"streaming ATE {ate_str} vs preload {ate_pre}")

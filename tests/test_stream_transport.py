@@ -39,8 +39,13 @@ def test_pack_unpack_roundtrip(rng):
 
     scan, imu, avail = tree
     oscan, oimu, oavail = out
-    # exact transports
-    np.testing.assert_array_equal(np.asarray(oscan.xyz), np.asarray(scan.xyz))
+    # xyz is u16-quantized over the chunk's per-axis bounding box:
+    # resolution = span/65535 per axis (docstring guarantees <= 2 mm at
+    # the 130 m sensor span; here the span is whatever rng produced)
+    pts = np.asarray(scan.xyz).reshape(-1, 3)
+    res = (pts.max(axis=0) - pts.min(axis=0)) / 65535.0
+    np.testing.assert_allclose(np.asarray(oscan.xyz), np.asarray(scan.xyz),
+                               atol=float(res.max()) + 1e-7)
     np.testing.assert_array_equal(np.asarray(oscan.mask),
                                   np.asarray(scan.mask))
     np.testing.assert_array_equal(np.asarray(oscan.ring),

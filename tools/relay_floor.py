@@ -60,16 +60,30 @@ def measure(chunk: int = 10) -> dict:
     }
 
     # --- per-device_put RPC floor: tiny vs large payload ---------------
+    # sync big uploads by fetching ONE element through a jitted slice:
+    # device_sync on a single-leaf tree would download the whole buffer
+    # and measure the round trip instead of the upload
+    one = jax.jit(lambda x: x.ravel()[:1].astype(jnp.float32))
     tiny = np.zeros((8,), np.float32)
-    big = np.zeros((4 << 20,), np.float32)  # 16 MB
-    for _ in range(2):  # warm the path
+    rand = np.random.default_rng(0).integers(
+        0, 255, 8 << 20, dtype=np.uint8)  # 8 MB incompressible
+    strut = (np.random.default_rng(1).random((8, 86000, 3))
+             * 50).astype(np.float32)  # ~7.9 MB structured (compressible)
+    for _ in range(2):  # warm the path + compile
         device_sync(jax.device_put(tiny))
+        np.asarray(one(jax.device_put(rand)))
     out["rpc_ms_tiny_put"] = _median_ms(
         lambda: device_sync(jax.device_put(tiny)))
-    t_big = _median_ms(lambda: device_sync(jax.device_put(big)), reps=3)
-    out["rpc_ms_16mb_put"] = t_big
-    bw = big.nbytes / max(t_big - out["rpc_ms_tiny_put"], 1e-3) / 1e3
-    out["wire_mb_per_s"] = round(bw, 1)
+    t_rand = _median_ms(lambda: np.asarray(one(jax.device_put(rand))),
+                        reps=3)
+    t_strut = _median_ms(lambda: np.asarray(one(jax.device_put(strut))),
+                         reps=3)
+    out["rpc_ms_8mb_random_put"] = round(t_rand, 1)
+    out["rpc_ms_8mb_structured_put"] = round(t_strut, 1)
+    out["wire_mb_per_s_incompressible"] = round(
+        rand.nbytes / max(t_rand - out["rpc_ms_tiny_put"], 1e-3) / 1e3, 1)
+    out["wire_mb_per_s_structured"] = round(
+        strut.nbytes / max(t_strut - out["rpc_ms_tiny_put"], 1e-3) / 1e3, 1)
 
     # --- per-execution overhead: trivial jitted program ----------------
     f = jax.jit(lambda x: x + 1.0)
@@ -83,18 +97,31 @@ def measure(chunk: int = 10) -> dict:
     out["sync_ms_ready"] = _median_ms(lambda: device_sync(y))
 
     # --- derived streaming floor ----------------------------------------
-    # one packed upload + one chunk execution per chunk of `chunk` scans;
-    # compute time comes from the committed bench (preloaded p50/scans).
+    # the wire dominates: uploads overlap execution (double-buffered loop),
+    # so floor = max(upload_per_chunk, exec_overhead + compute_per_chunk).
+    # bytes/scan from the ship config's packed-transport layout.
     res_path = os.path.join(_REPO_ROOT, "bench_results.json")
     if os.path.exists(res_path):
+        from bench import _config
+
+        cfg = _config("os1")
+        mp = cfg.sensor.max_points
+        iw = cfg.imu.max_imu_per_scan
+        bytes_scan = (6 * mp      # xyz u16[mp,3]
+                      + 2 * mp    # t_rel u16
+                      + mp        # ring u8
+                      + mp // 8   # mask bits
+                      + iw * (4 + 12 + 12 + 16) + iw // 8)  # ImuWindow
+        out["stream_bytes_per_scan"] = bytes_scan
         with open(res_path) as fjson:
             res = json.load(fjson)
         compute_ms_scan = 1000.0 / res["os1"]["value"]
-        floor_chunk_ms = (out["rpc_ms_tiny_put"] + out["exec_ms_trivial"]
-                          + chunk * compute_ms_scan)
+        up_ms = (out["rpc_ms_tiny_put"] + chunk * bytes_scan
+                 / out["wire_mb_per_s_structured"] / 1e3)
+        ex_ms = out["exec_ms_trivial"] + chunk * compute_ms_scan
         out["chunk"] = chunk
         out["derived_stream_floor_scans_per_s"] = round(
-            chunk / floor_chunk_ms * 1000.0, 1)
+            chunk / max(up_ms, ex_ms) * 1000.0, 1)
         if "streaming" in res:
             out["measured_stream_scans_per_s"] = res["streaming"]["value"]
 
@@ -111,11 +138,51 @@ def measure(chunk: int = 10) -> dict:
     return out
 
 
+def local_compare(n_scans: int = 60, chunk: int = 10) -> dict:
+    """Streaming-vs-preload on a LOCALLY attached backend (CPU): with no
+    relay in the path, host->device inside the timed loop should cost a
+    few percent, not the 5-15x the relay wire costs — proving the
+    streaming code itself is not the bottleneck (VERDICT r4 #4)."""
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from bench import _config, _dataset
+    from superodom_tpu.runner import OdometryRunner
+
+    cfg = _config("os1")
+    # reduced density so the CPU arm finishes in seconds; both arms share it
+    cfg = dataclasses.replace(
+        cfg, sensor=dataclasses.replace(
+            cfg.sensor, max_points=8192, max_surface_features=1024,
+            max_edge_features=128))
+    ds = _dataset(cfg, n_scans)
+    res = {}
+    for label, preload in (("preload", True), ("streaming", False)):
+        runner = OdometryRunner(cfg)
+        r = runner.run_dataset_chunked(ds, use_imu=True, chunk=chunk,
+                                       preload=preload)
+        res[label + "_scans_per_s"] = round(r.scans_per_sec, 1)
+    res["streaming_over_preload"] = round(
+        res["streaming_scans_per_s"] / res["preload_scans_per_s"], 3)
+    res["backend"] = "cpu (local attach)"
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--local-compare", action="store_true")
     args = ap.parse_args()
+    if args.local_compare:
+        out = local_compare()
+        print(json.dumps(out, indent=1))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f, indent=1)
+        return
     out = measure(chunk=args.chunk)
     text = json.dumps(out, indent=1)
     print(text)
