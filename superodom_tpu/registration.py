@@ -904,15 +904,39 @@ def icp_register(
             # millimetric, so the W-lane window covers the later top-K; the
             # battery (tools/stress_matrix.py) qualifies the approximation.
             pose1 = carry1[0]
-            red_surf = reduce_candidates(
-                surf_cand, surf_cvalid, pose1.apply(surf_pts),
-                reg.refresh_width,
-            )
-            if use_edges:
-                red_edge = reduce_candidates(
-                    edge_cand, edge_cvalid, pose1.apply(edge_pts),
-                    max(reg.refresh_width, 2 * reg.edge_knn),
+            conv1 = carry1[1]
+            ew = max(reg.refresh_width, 2 * reg.edge_knn)
+
+            def _zeros_red(q, w):
+                return ReducedCandidates(
+                    x=jnp.zeros((q, w), dtype), y=jnp.zeros((q, w), dtype),
+                    z=jnp.zeros((q, w), dtype),
+                    valid=jnp.zeros((q, w), bool),
                 )
+
+            def _compute_reds(_):
+                rs = reduce_candidates(
+                    surf_cand, surf_cvalid, pose1.apply(surf_pts),
+                    reg.refresh_width,
+                )
+                re_ = (reduce_candidates(
+                    edge_cand, edge_cvalid, pose1.apply(edge_pts), ew)
+                    if use_edges else _zeros_red(1, 1))
+                return rs, re_
+
+            def _skip_reds(_):
+                return (_zeros_red(surf_pts.shape[0], reg.refresh_width),
+                        _zeros_red(edge_pts.shape[0], ew)
+                        if use_edges else _zeros_red(1, 1))
+
+            if reg.icp_early_exit:
+                # frames converged after the peeled round never enter the
+                # while_loop, so their reduction is dead work (ADVICE r4):
+                # skip the top-W + one-hot MXU pass on those frames
+                red_surf, red_edge = jax.lax.cond(
+                    conv1, _skip_reds, _compute_reds, operand=None)
+            else:
+                red_surf, red_edge = _compute_reds(None)
 
             def corr_refresh(pose):
                 planes = plane_correspondences_from_reduced(
