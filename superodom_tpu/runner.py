@@ -641,6 +641,53 @@ class OdometryRunner:
             high_rate_v=np.asarray(hr_v) if high_rate else None,
         )
 
+    def stack_chunked_inputs(self, dataset, use_imu: bool = True,
+                             chunk: int = 16):
+        """Ingest + window + stack a replay into host pytrees shaped
+        ``[n_chunks, chunk, ...]`` — the host half of chunked replay,
+        shared by run_dataset_chunked and tools/relay_floor.py (which
+        measures the wire cost of the REAL packed chunk payload)."""
+        imu = dataset.imu
+        if use_imu:
+            for i in range(len(imu.t)):
+                self.add_imu(imu.t[i], imu.acc[i], imu.gyr[i])
+        self._ingest_dataset_vio(dataset)
+
+        def build(s):
+            scan = self.make_scan(s.t_start, s.xyz_body, s.t_rel)
+            t_end = s.t_start + (float(s.t_rel[-1]) if len(s.t_rel) else 0.0)
+            if use_imu:
+                win, ok = self._imu_window(s.t_start, t_end)
+            else:
+                win, ok = self._empty_window(), False
+            out = (scan, win, np.asarray(ok))
+            if self.cfg.use_vio_undistortion:
+                out = out + (self._vio_window(s.t_start, t_end),)
+            return out
+
+        built = [build(s) for s in dataset.scans]
+        n_chunks = len(built) // chunk
+
+        # stacked [n_chunks, chunk, ...]: preload uploads this to device
+        # memory ONCE so scan streaming bandwidth (PCIe on a real host, a
+        # TCP relay here) stays out of the registration-throughput
+        # measurement, matching the reference's "bag already in page
+        # cache" replay benchmarks
+        def stack_host(get):
+            leaves = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[get(b) for b in built[: n_chunks * chunk]],
+            )
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), leaves
+            )
+
+        n_inputs = len(built[0])  # scan, imu, avail[, vio]
+        host_inputs = tuple(
+            stack_host(lambda b, j=j: b[j]) for j in range(n_inputs)
+        )
+        return host_inputs, n_chunks
+
     def run_dataset_chunked(self, dataset, use_imu: bool = True,
                             chunk: int = 16, preload: bool = True,
                             time_chunks: bool = False,
@@ -673,49 +720,8 @@ class OdometryRunner:
                 self._chunk_fn = make_chunked_step_fn(self.step_cfg)
             chunk_fn = self._chunk_fn
 
-        # ingest all IMU + VIO first (offline replay)
-        imu = dataset.imu
-        if use_imu:
-            for i in range(len(imu.t)):
-                self.add_imu(imu.t[i], imu.acc[i], imu.gyr[i])
-        self._ingest_dataset_vio(dataset)
-
-        # prebuild stacked inputs
-        def build(s):
-            scan = self.make_scan(s.t_start, s.xyz_body, s.t_rel)
-            t_end = s.t_start + (float(s.t_rel[-1]) if len(s.t_rel) else 0.0)
-            if use_imu:
-                win, ok = self._imu_window(s.t_start, t_end)
-            else:
-                win, ok = self._empty_window(), False
-            out = (scan, win, np.asarray(ok))
-            if self.cfg.use_vio_undistortion:
-                out = out + (self._vio_window(s.t_start, t_end),)
-            return out
-
-        built = [build(s) for s in dataset.scans]
-        n = len(built)
-        n_chunks = n // chunk
-
-        # Upload the whole replay to device memory ONCE, shaped
-        # [n_chunks, chunk, ...].  The timed loop below then references
-        # device-resident buffers only — scan streaming bandwidth (PCIe on a
-        # real host, a TCP relay here) stays out of the registration-
-        # throughput measurement, matching the reference's "bag already in
-        # page cache" replay benchmarks.
-        def stack_host(get):
-            leaves = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]),
-                *[get(b) for b in built[: n_chunks * chunk]],
-            )
-            return jax.tree_util.tree_map(
-                lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), leaves
-            )
-
-        n_inputs = len(built[0])  # scan, imu, avail[, vio]
-        host_inputs = tuple(
-            stack_host(lambda b, j=j: b[j]) for j in range(n_inputs)
-        )
+        host_inputs, n_chunks = self.stack_chunked_inputs(
+            dataset, use_imu, chunk)
         index = lambda tree, c: jax.tree_util.tree_map(lambda a: a[c], tree)
         host_chunk = lambda c: tuple(index(t, c) for t in host_inputs)
         if preload:
@@ -750,28 +756,54 @@ class OdometryRunner:
         pending = []
         chunk_ms: List[float] = []
         if not preload:
-            next_buf = jax.device_put(transport.pack(host_chunk(0)))
-        for c in range(n_chunks):
-            t_chunk0 = time.perf_counter()
-            if preload:
-                inp = tuple(index(t, c) for t in dev_inputs)
-                self.state, outs = chunk_fn(self.state, *inp)
-            else:
-                self.state, outs = packed_fn(self.state, next_buf)
-                if c + 1 < n_chunks:
-                    # double-buffered streaming: the dispatch above is
-                    # async, so packing + uploading chunk c+1 NOW overlaps
-                    # the transfer with chunk c's device compute
-                    next_buf = jax.device_put(
-                        transport.pack(host_chunk(c + 1)))
-            if time_chunks:
-                # block per chunk: each chunk's wall time is real (costs one
-                # device round trip per chunk, amortized over `chunk` scans)
-                device_sync(self.state)
-                chunk_ms.append((time.perf_counter() - t_chunk0) * 1000.0)
-            # keep device->host reads OUT of the loop otherwise: each scalar
-            # read is a full round trip on a remote-attached device
-            pending.append(outs)
+            # Two-stage ingest pipeline (the live-driver shape: the
+            # reference's feature-extraction node packs LaserFeature
+            # messages in its own executor thread while laserMapping
+            # consumes, laserMapping.cpp:98-100).  Stage 1 packs chunk
+            # c+2 on a worker core while stage 2's device_put of chunk
+            # c+1 blocks on the wire and the device computes chunk c —
+            # pack cost (~60-180 ms/chunk on this host) and device
+            # compute both hide under the transfer, so the wire IS the
+            # streaming floor (tools/relay_floor.py), not pack+wire.
+            # Lookahead is bounded at 2 chunks (~2x4 MB packed).
+            from concurrent.futures import ThreadPoolExecutor
+
+            pack_ex = ThreadPoolExecutor(max_workers=1)
+            put_ex = ThreadPoolExecutor(max_workers=1)
+            pack_then_put = lambda c: jax.device_put(
+                transport.pack(host_chunk(c)))
+            put_futs = [put_ex.submit(pack_then_put, c)
+                        for c in range(min(2, n_chunks))]
+        try:
+            for c in range(n_chunks):
+                t_chunk0 = time.perf_counter()
+                if preload:
+                    inp = tuple(index(t, c) for t in dev_inputs)
+                    self.state, outs = chunk_fn(self.state, *inp)
+                else:
+                    buf = put_futs[c].result()
+                    if c + 2 < n_chunks:
+                        nxt = pack_ex.submit(transport.pack,
+                                             host_chunk(c + 2))
+                        put_futs.append(
+                            put_ex.submit(lambda f=nxt:
+                                          jax.device_put(f.result())))
+                    self.state, outs = packed_fn(self.state, buf)
+                    put_futs[c] = None  # free the consumed upload
+                if time_chunks:
+                    # block per chunk: each chunk's wall time is real (costs
+                    # one device round trip per chunk, amortized over
+                    # `chunk` scans)
+                    device_sync(self.state)
+                    chunk_ms.append((time.perf_counter() - t_chunk0) * 1000.0)
+                # keep device->host reads OUT of the loop otherwise: each
+                # scalar read is a full round trip on a remote-attached
+                # device
+                pending.append(outs)
+        finally:
+            if not preload:
+                pack_ex.shutdown(wait=False)
+                put_ex.shutdown(wait=False)
         device_sync(self.state)
         wall = time.perf_counter() - t_begin  # registration work ends here;
         # stats readback below is reporting, not estimation
